@@ -1,0 +1,29 @@
+"""Top-level golden verifier: challenges -> plonk equations -> FRI check.
+
+verifyProof semantics per reference spec Plonk/Verifier.hs:56-66.
+This is the slow, bit-exact oracle; the production path is
+`plonky2_verifier_tpu.verifier_jax`.
+"""
+
+from __future__ import annotations
+
+from ..types import CommonCircuitData, ProofWithPublicInputs, VerifierOnlyCircuitData
+from .challenges import proof_challenges
+from .fri import check_fri_proof
+from .plonk import check_combined_plonk_equations
+
+
+def verify_proof(
+    common: CommonCircuitData,
+    vkey: VerifierOnlyCircuitData,
+    proof_with_pis: ProofWithPublicInputs,
+) -> bool:
+    try:
+        challenges = proof_challenges(common, vkey, proof_with_pis)
+        eqs_ok = all(check_combined_plonk_equations(common, proof_with_pis, challenges))
+        fri_ok = check_fri_proof(common, vkey, proof_with_pis.proof, challenges)
+        return eqs_ok and fri_ok
+    except (ValueError, AssertionError, ZeroDivisionError, IndexError):
+        # Malformed proofs reject cleanly (the reference aborts; we return False
+        # so fault-injection suites can assert rejection).
+        return False

@@ -1,0 +1,126 @@
+"""Unit tests for the golden algebra + hash layers."""
+
+import random
+
+from plonky2_verifier_tpu.golden import field as gf
+from plonky2_verifier_tpu.golden.duplex import Duplex
+from plonky2_verifier_tpu.golden.hashing import compress, check_merkle_proof, sponge
+from plonky2_verifier_tpu.golden.poseidon import KAT_OUTPUT, permutation, sanity_check
+
+
+def test_poseidon_kat():
+    assert sanity_check()
+    assert tuple(permutation(list(range(12)))) == KAT_OUTPUT
+
+
+def test_field_basics():
+    rng = random.Random(0)
+    for _ in range(200):
+        a, b = gf.rand_f(rng), gf.rand_f(rng)
+        assert gf.fmul(a, gf.finv(a)) == 1 if a else True
+        assert gf.fadd(a, gf.fneg(a)) == 0
+        assert gf.fmul(a, b) == (a * b) % gf.P
+    # roots of unity
+    for k in range(0, 33, 8):
+        g = gf.subgroup_generator(k)
+        assert gf.fpow(g, 1 << k) == 1
+        if k:
+            assert gf.fpow(g, 1 << (k - 1)) != 1
+
+
+def test_ext_field():
+    rng = random.Random(1)
+    for _ in range(100):
+        a, b = gf.rand_ext(rng), gf.rand_ext(rng)
+        assert gf.emul(a, gf.einv(a)) == gf.EXT_ONE
+        assert gf.emul(a, b) == gf.emul(b, a)
+        assert gf.epow(a, 5) == gf.emul(gf.emul(gf.emul(a, a), gf.emul(a, a)), a)
+    # X^2 = 7
+    assert gf.emul((0, 1), (0, 1)) == (7, 0)
+
+
+def test_sponge_structure():
+    # one-permutation case: 8 inputs overwrite the rate, digest = state[:4]
+    xs = list(range(1, 9))
+    st = permutation(xs + [0, 0, 0, 0])
+    assert sponge(xs) == tuple(st[:4])
+    # empty input: zero state, NO permutation (reference sponge [] = digest of zero state)
+    assert sponge([]) == (0, 0, 0, 0)
+    # partial block overwrites only len lanes
+    st2 = permutation([5, 6] + [0] * 10)
+    assert sponge([5, 6]) == tuple(st2[:4])
+
+
+def test_merkle_roundtrip():
+    rng = random.Random(2)
+    # build a depth-3 tree with cap height 1 over 8 leaves
+    leaves = [[gf.rand_f(rng) for _ in range(5)] for _ in range(8)]
+    digests = [sponge(l) for l in leaves]
+    level = digests
+    levels = [level]
+    while len(level) > 2:  # stop at cap height 1 (2 roots)
+        level = [compress(level[i], level[i + 1]) for i in range(0, len(level), 2)]
+        levels.append(level)
+    cap = levels[-1]
+    for idx in range(8):
+        sibs = []
+        i = idx
+        for lvl in levels[:-1]:
+            sibs.append(lvl[i ^ 1])
+            i >>= 1
+        assert check_merkle_proof(cap, idx, leaves[idx], sibs)
+        assert not check_merkle_proof(cap, idx ^ 1, leaves[idx], sibs)
+
+
+def test_duplex_overwrite_and_reversal():
+    d = Duplex()
+    d.absorb_many(list(range(1, 9)))  # exactly one rate block buffered
+    y = d.squeeze()
+    # squeeze flushes: state = permute([1..8] ++ zeros), output reversed
+    st = permutation(list(range(1, 9)) + [0, 0, 0, 0])
+    assert y == st[7]
+    ys = d.squeeze_n(7)
+    assert ys == list(reversed(st[:7]))
+    # 9th squeeze permutes again
+    st2 = permutation(st)
+    assert d.squeeze() == st2[7]
+
+
+def test_duplex_lazy_flush():
+    # 9 absorbs: permutation fires when the 9th arrives
+    d = Duplex()
+    for x in range(1, 10):
+        d.absorb(x)
+    st = permutation(list(range(1, 9)) + [0, 0, 0, 0])
+    assert d.state == st
+    # pending buffer [9] flushes on squeeze, overwriting only lane 0
+    y = d.squeeze()
+    st2 = permutation([9] + st[1:])
+    assert y == st2[7]
+
+
+def test_duplex_trace_replay():
+    """The recorded trace must fully determine the outputs (schedule property)."""
+    rng = random.Random(3)
+    d = Duplex()
+    stream = []
+    outs = []
+    for _ in range(30):
+        if rng.random() < 0.6:
+            xs = [gf.rand_f(rng) for _ in range(rng.randrange(1, 6))]
+            stream.extend(xs)
+            d.absorb_many(xs)
+        else:
+            outs.extend(d.squeeze_n(rng.randrange(1, 4)))
+    tr = d.trace
+    # replay: apply overwrites + permutations per the trace
+    state = [0] * 12
+    states = []
+    for ow in tr.permutes:
+        s = list(state)
+        for lane, pos in ow:
+            s[lane] = stream[pos]
+        state = permutation(s)
+        states.append(state)
+    replay = [states[pi][lane] for pi, lane in tr.squeezes]
+    assert replay == outs
