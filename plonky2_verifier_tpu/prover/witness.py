@@ -1,26 +1,24 @@
 """Witness generation by triangular constraint solving.
 
-Every Plonky2 gate's constraints are triangular: each committed constraint is
-(up to sign) ``expr - cell`` where ``cell`` is a single not-yet-assigned wire
-and ``expr`` only references inputs or previously-assigned cells. So instead
-of hand-writing a generator per gate, we *solve* the gate's own symbolic
-program: evaluate constraints in commit order (with lazy, memoized local
-defs) and assign the one unknown wire per constraint. This guarantees the
-witness satisfies the exact constraints the verifier checks.
+Every Plonky2 gate's constraints are triangular: each committed constraint
+is affine in (at most) one not-yet-assigned wire, whose value is determined
+by the inputs and previously-assigned cells. Rather than hand-writing a
+witness generator per gate, we *solve* the gate's own symbolic program:
+evaluate constraints in commit order over the ring of affine functions
+``a + b*u`` of the first unknown wire encountered (with lazy, memoized local
+defs), and assign ``u = -a/b``. This guarantees the witness satisfies the
+exact constraints the verifier checks.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..gate_parser import Gate
 from ..gates import CONST, LKPSEL, LOCAL, PI, SEL, WIRE, Expr, gate_program
 from ..golden import field as gf
 
-
-class _Unknown(Exception):
-    def __init__(self, wire_idx: int):
-        self.wire_idx = wire_idx
+Affine = Tuple[int, int]  # (a, b) meaning a + b*u for the current unknown
 
 
 class GateWitnessSolver:
@@ -35,26 +33,36 @@ class GateWitnessSolver:
         self.row = row
         self.constants = list(constants)
         self.pi_hash = list(pi_hash)
-        self._local_cache: Dict[int, int] = {}
+        self._local_cache: Dict[int, Affine] = {}
+        self._unknown: Optional[int] = None  # wire index of the current unknown
 
-    def _eval(self, e: Expr) -> int:
+    def _eval(self, e: Expr) -> Affine:
         op = e.op
         if op == "lit":
-            return e.args[0]
+            return (e.args[0], 0)
         if op == "var":
             kind, idx = e.args
             if kind == WIRE:
                 v = self.row[idx]
                 if v is None:
-                    raise _Unknown(idx)
-                return v
+                    if self._unknown is None:
+                        self._unknown = idx
+                    if self._unknown != idx:
+                        raise ValueError(
+                            f"constraint has multiple unknown wires ({self._unknown}, {idx})"
+                        )
+                    return (0, 1)
+                return (v, 0)
             if kind == CONST:
-                return self.constants[idx]
+                return (self.constants[idx], 0)
             if kind == PI:
-                return self.pi_hash[idx]
+                return (self.pi_hash[idx], 0)
             if kind == LOCAL:
                 if idx not in self._local_cache:
-                    self._local_cache[idx] = self._eval(self.prog.local_defs[idx])
+                    val = self._eval(self.prog.local_defs[idx])
+                    if val[1] != 0:
+                        raise ValueError("local def depends on an unknown wire")
+                    self._local_cache[idx] = val
                 return self._local_cache[idx]
             if kind in (SEL, LKPSEL):
                 raise ValueError("gate constraints must not reference selector columns")
@@ -64,33 +72,29 @@ class GateWitnessSolver:
             raise ValueError("img nodes have no base-field witness semantics")
         b = self._eval(e.args[1])
         if op == "add":
-            return (a + b) % gf.P
+            return ((a[0] + b[0]) % gf.P, (a[1] + b[1]) % gf.P)
         if op == "sub":
-            return (a - b) % gf.P
+            return ((a[0] - b[0]) % gf.P, (a[1] - b[1]) % gf.P)
         if op == "mul":
-            return (a * b) % gf.P
+            if a[1] and b[1]:
+                raise ValueError("constraint is nonlinear in the unknown wire")
+            return ((a[0] * b[0]) % gf.P, (a[0] * b[1] + a[1] * b[0]) % gf.P)
         raise KeyError(op)
 
     def solve(self) -> List[Optional[int]]:
         for c in self.prog.constraints:
-            try:
-                v = self._eval(c)
-            except _Unknown as u:
-                # constraint must be `lhs - rhs` with the unknown a bare wire
-                if c.op != "sub":
-                    raise ValueError(f"cannot solve non-sub constraint with unknown wire {u.wire_idx}")
-                lhs, rhs = c.args
-                if rhs.op == "var" and rhs.args == (WIRE, u.wire_idx) and self.row[u.wire_idx] is None:
-                    self.row[u.wire_idx] = self._eval(lhs)
-                elif lhs.op == "var" and lhs.args == (WIRE, u.wire_idx) and self.row[u.wire_idx] is None:
-                    self.row[u.wire_idx] = self._eval(rhs)
-                else:
-                    raise ValueError(
-                        f"constraint not triangular in wire {u.wire_idx}: {c!r}"
-                    )
+            self._unknown = None
+            a, b = self._eval(c)
+            if self._unknown is None:
+                if a % gf.P != 0:
+                    raise ValueError(f"pre-filled witness violates constraint: {c!r} = {a}")
                 continue
-            if v % gf.P != 0:
-                raise ValueError(f"pre-filled witness violates constraint: {c!r} = {v}")
+            if b % gf.P == 0:
+                # unknown cancelled; constraint must hold on its own
+                if a % gf.P != 0:
+                    raise ValueError(f"unsolvable constraint: {c!r}")
+                continue
+            self.row[self._unknown] = (-a * gf.finv(b)) % gf.P
         return self.row
 
 
