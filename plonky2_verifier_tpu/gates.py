@@ -413,13 +413,21 @@ def _public_input(c: Compute) -> None:
         c.commit(wire(i) - pi_hash(i))
 
 
+def _balanced_sum(terms):
+    """Associative tree-sum (shallow levels for the TPU levelizer; same value)."""
+    terms = list(terms)
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
 def _poseidon_mds(c: Compute) -> None:
     m = mds_matrix()
     for i in range(12):
-        acc = None
-        for j in range(12):
-            term = wire_ext(2 * j).scale(lit(m[i][j]))
-            acc = term if acc is None else acc + term
+        acc = _balanced_sum([wire_ext(2 * j).scale(lit(m[i][j])) for j in range(12)])
         c.commit_ext(wire_ext(2 * (i + 12)) - acc)
 
 
@@ -451,11 +459,7 @@ def _poseidon(c: Compute) -> None:
     def mds_layer(state):
         return [sum_exprs([lit(m[i][j]) * state[j] for j in range(12)]) for i in range(12)]
 
-    def sum_exprs(es):
-        acc = es[0]
-        for e in es[1:]:
-            acc = acc + e
-        return acc
+    sum_exprs = _balanced_sum
 
     def plus_rc(r, state):
         rc = ALL_ROUND_CONSTANTS[12 * r : 12 * r + 12]
