@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Benchmark: batched Plonky2 proof verification throughput on the local
+accelerator (TPU when available).
+
+Prints ONE JSON line:
+  {"metric": "proofs_per_sec_per_chip", "value": N, "unit": "proofs/s/chip",
+   "vs_baseline": R, ...}
+
+Baseline denominator: the BASELINE.json north star is >= 10k proofs/s on a
+v5p-16 (8 chips) => 1250 proofs/s/chip. vs_baseline = value / 1250.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = int(os.environ.get("BENCH_BATCH", "512"))
+MODEL = os.environ.get("BENCH_MODEL", "fibonacci")
+QUERIES = int(os.environ.get("BENCH_QUERIES", "28"))
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+BASELINE_PER_CHIP = 1250.0
+
+
+def perm_count(tpl) -> int:
+    """Analytic Poseidon-permutation count per proof (mirrors the
+    commentary/FRI.md:250-267 cost model for our shapes)."""
+    n = len(tpl.schedule.permutes)  # challenge transcript
+    n += -(-tpl.n_pi // 8) if tpl.n_pi else 0  # public-input sponge
+    per_round = 0
+    for w in tpl.oracle_widths:
+        per_round += -(-w // 8)  # leaf sponges
+    per_round += 4 * tpl.initial_path_len  # initial Merkle paths
+    for st in tpl.steps:
+        per_round += -(-(2 << st["arity_bits"]) // 8)  # coset leaf sponge
+        per_round += st["path_len"]
+    return n + tpl.num_queries * per_round
+
+
+def main():
+    import jax
+
+    t_setup = time.time()
+    from plonky2_verifier_tpu.compiler import CircuitTemplate, flatten_proofs
+    from plonky2_verifier_tpu.models.cache import get_fixture_proof
+    from plonky2_verifier_tpu.verifier_jax import JaxVerifier
+
+    common, vkey, pwp = get_fixture_proof(MODEL, num_query_rounds=QUERIES)
+    tpl = CircuitTemplate(common)
+    arrays = flatten_proofs(tpl, [(vkey, pwp)] * BATCH)
+    v = JaxVerifier(tpl)
+    dev = v.prepare(arrays)
+    setup_s = time.time() - t_setup
+
+    # warmup / compile
+    t_c = time.time()
+    out = v(dev)
+    ok = bool(jax.device_get(out["ok"]).all())
+    compile_s = time.time() - t_c
+    assert ok, "benchmark proof failed to verify!"
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        out = v(dev)
+    jax.block_until_ready(out["ok"])
+    dt = (time.time() - t0) / ITERS
+
+    proofs_per_sec = BATCH / dt
+    perms = perm_count(tpl)
+    result = {
+        "metric": "proofs_per_sec_per_chip",
+        "value": round(proofs_per_sec, 2),
+        "unit": "proofs/s/chip",
+        "vs_baseline": round(proofs_per_sec / BASELINE_PER_CHIP, 4),
+        "batch": BATCH,
+        "model": MODEL,
+        "query_rounds": tpl.num_queries,
+        "degree_bits": tpl.degree_bits,
+        "poseidon_perms_per_proof": perms,
+        "poseidon_perms_per_sec": round(proofs_per_sec * perms, 1),
+        "step_ms": round(dt * 1000, 2),
+        "compile_s": round(compile_s, 1),
+        "setup_s": round(setup_s, 1),
+        "device": str(jax.devices()[0]),
+        "all_verified": ok,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -256,36 +256,26 @@ def pow_const(a: G, e: int) -> G:
     return acc
 
 
+@jax.jit
 def inv(a: G) -> G:
-    """Fermat inversion a^(p-2). p-2 = (2^32-1) * 2^32 - 1; uses the
-    run-of-ones structure: 31 ones, 0, 32 ones (MSB-first)."""
-    # x^(2^32 - 1) via doubling ladders: 1 -> 2 -> 4 -> 8 -> 16 -> 32 ones
-    def ones(x, runs):
-        # x_run[k] = x^(2^k - 1)
-        cache = {1: x}
+    """Fermat inversion a^(p-2) as an LSB-first square-and-multiply scan.
 
-        def get(k):
-            if k in cache:
-                return cache[k]
-            half = k // 2
-            lo_ = get(half)
-            hi_ = lo_
-            for _ in range(half):
-                hi_ = square(hi_)
-            v = mul(hi_, lo_)
-            if k % 2:
-                v = mul(square(v), x)
-            cache[k] = v
-            return v
+    The exponent bits ride in as scan xs, so the whole chain is one
+    ~150-HLO body iterated 63 times — an unrolled chain of 100+ dependent
+    multiplies sent XLA's algebraic simplifier into a circular loop and
+    multi-minute compiles. jit-wrapped to trace once per shape."""
+    e = P - 2
+    bits = np.array([bool((e >> k) & 1) for k in range(e.bit_length())])
 
-        return [get(r) for r in runs]
+    def body(carry, bit):
+        acc, s = carry
+        acc = where(bit, mul(acc, s), acc)
+        s = square(s)
+        return (acc, s), None
 
-    (r31, r32) = ones(a, [31, 32])
-    # exponent = [31 ones] 0 [32 ones]: acc = r31, shift 33, add 32 ones
-    acc = r31
-    for _ in range(33):
-        acc = square(acc)
-    return mul(acc, r32)
+    acc0 = constant(1).broadcast_to(a.shape)
+    (acc, _), _ = jax.lax.scan(body, (acc0, a), jnp.asarray(bits))
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -395,17 +385,21 @@ def ext_pow_const(a: GExt, e: int) -> GExt:
 
 
 def pow_dynamic(base: G, exponent, n_bits: int) -> G:
-    """base^exponent for a *traced* integer exponent (< 2^n_bits).
-    exponent: uint32 array (or pair for > 32 bits as (hi, lo))."""
+    """base^exponent for a *traced* integer exponent (< 2^n_bits <= 2^32).
+
+    Scan-based square-and-multiply: unrolled dependent multiply chains
+    trigger XLA's algebraic-simplifier circular loop (see `inv`)."""
     if isinstance(exponent, tuple):
-        ehi, elo = exponent
-    else:
-        ehi, elo = jnp.zeros_like(exponent), exponent
-    acc = constant(1).broadcast_to(base.shape)
-    s = base
-    for k in range(n_bits):
-        bit = ((elo >> k) & 1) if k < 32 else ((ehi >> (k - 32)) & 1)
+        raise NotImplementedError("exponents beyond 32 bits")
+    n_bits = max(n_bits, 1)
+    bits = jnp.stack([(exponent >> k) & 1 for k in range(n_bits)])
+
+    def body(carry, bit):
+        acc, s = carry
         acc = where(bit == 1, mul(acc, s), acc)
-        if k + 1 < n_bits:
-            s = square(s)
+        s = square(s)
+        return (acc, s), None
+
+    acc0 = constant(1).broadcast_to(base.shape)
+    (acc, _), _ = jax.lax.scan(body, (acc0, base), bits)
     return acc

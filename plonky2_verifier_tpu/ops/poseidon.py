@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,19 +79,35 @@ def _from_wide16(accs) -> G:
     return jf._reduce128(jnp.zeros_like(r), r, n1, n0)
 
 
+def _rc_g(rows) -> G:
+    hi, lo = _rc_np()
+    return G(jnp.asarray(hi[rows]), jnp.asarray(lo[rows]))
+
+
+@jax.jit
 def permutation(state: G) -> G:
-    """The full 30-round permutation; state shape (..., 12)."""
+    """The full 30-round permutation; state shape (..., 12).
+
+    Structured for compile-time economy: the rounds run as lax.scan over
+    per-round constants (one ~300-HLO external body + one internal body)
+    and the whole function is jit-wrapped so its jaxpr is traced once and
+    reused as a called computation at every site (transcript, sponges,
+    Merkle walks). Naively unrolling 30 rounds at every call site made the
+    full-verifier HLO ~100x larger and pushed XLA compiles past 5 minutes."""
     assert state.shape[-1] == WIDTH
-    s = state
-    for r in range(4):
-        s = _mds(_sbox7(_add_rc(s, r)))
-    for r in range(4, 26):
-        s = _add_rc(s, r)
+
+    def external(s, rc: G):
+        return _mds(_sbox7(jf.add(s, rc))), None
+
+    def internal(s, rc: G):
+        s = jf.add(s, rc)
         lane0 = _sbox7(s[..., :1])
         s = jf.concat([lane0, s[..., 1:]], axis=-1)
-        s = _mds(s)
-    for r in range(26, 30):
-        s = _mds(_sbox7(_add_rc(s, r)))
+        return _mds(s), None
+
+    s, _ = jax.lax.scan(external, state, _rc_g(list(range(0, 4))))
+    s, _ = jax.lax.scan(internal, s, _rc_g(list(range(4, 26))))
+    s, _ = jax.lax.scan(external, s, _rc_g(list(range(26, 30))))
     return s
 
 

@@ -346,7 +346,12 @@ def prove(fixture: Fixture, grind_hook=None) -> Tuple[VerifierOnlyCircuitData, P
             shift = gf.fmul(shift, shift)
         cur_bits -= a_bits
 
-    final_poly = codeword_coeffs
+    # pad to the canonical final-poly length so the transcript schedule is
+    # fully determined by the circuit shape (Plonky2 sends exactly
+    # 2^(degree_bits - sum(arity_bits)) coefficients)
+    canonical_len = 1 << (degree_bits - sum(step_arities))
+    assert len(codeword_coeffs) <= canonical_len, "final polynomial too long"
+    final_poly = codeword_coeffs + [gf.EXT_ZERO] * (canonical_len - len(codeword_coeffs))
     d.absorb_many(gf.flatten_ext(final_poly))
 
     # grinding: find pow_witness whose response has pow_bits leading zeros
