@@ -83,6 +83,7 @@ class CircuitBuilder:
         self._copies: List[Tuple[Cell, Cell]] = []
         self.public_inputs: List[int] = []
         self.luts: List[List[Tuple[int, int]]] = []
+        self._lookups: List[List[Tuple[int, int]]] = []  # per lut: used (inp,out) pairs
 
     # -- construction -------------------------------------------------------
     def gate_id(self, gate: Gate) -> int:
@@ -102,6 +103,93 @@ class CircuitBuilder:
 
     def set_public_inputs(self, values: Sequence[int]) -> None:
         self.public_inputs = [v % gf.P for v in values]
+
+    # -- lookups --------------------------------------------------------------
+    def add_lookup_table(self, table: Sequence[Tuple[int, int]]) -> int:
+        """Register a lookup table of (input, output) pairs; returns its index.
+        The log-derivative argument (commentary/Lookups.md, Plonk/Lookups.hs)
+        encodes the table itself in LookupTableGate witness rows."""
+        if not table:
+            raise ValueError("empty lookup table")
+        self.luts.append([(i % gf.P, o % gf.P) for i, o in table])
+        self._lookups.append([])
+        return len(self.luts) - 1
+
+    def add_lookup(self, lut: int, inp: int) -> int:
+        """Look `inp` up in table `lut`; records the use and returns the output."""
+        inp %= gf.P
+        for i, o in self.luts[lut]:
+            if i == inp:
+                self._lookups[lut].append((inp, o))
+                return o
+        raise ValueError(f"input {inp} not present in lookup table {lut}")
+
+    @staticmethod
+    def _lut_hash(table: Sequence[Tuple[int, int]]) -> Tuple[int, ...]:
+        """Deterministic table identity for the gate string (stands in for
+        plonky2's keccak LUT hash, Gate/Base.hs:18-23)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for i, o in table:
+            h.update(i.to_bytes(8, "little"))
+            h.update(o.to_bytes(8, "little"))
+        return tuple(h.digest()[:32])
+
+    def _append_lookup_blocks(self) -> List[dict]:
+        """Append, per table: Lookup rows (top), LookupTable rows, a Noop row
+        (bottom) — the commentary/Lookups.md layout. Running sums accumulate
+        from the bottom row upward, so RE/SLDC start at zero on the Noop row
+        and close out on the topmost rows. Returns per-table block metadata."""
+        num_lu_slots = self.num_routed // 2
+        num_lut_slots = self.num_routed // 3
+        blocks = []
+        for k, table in enumerate(self.luts):
+            pairs = list(self._lookups[k])
+            if not pairs:
+                raise ValueError(f"lookup table {k} is registered but never used")
+            mults = [0] * len(table)
+            for inp, out in pairs:
+                mults[table.index((inp, out))] += 1
+            # pad lookups to full rows with the first entry (counted in mults)
+            n_lu_rows = -(-len(pairs) // num_lu_slots)
+            pad = n_lu_rows * num_lu_slots - len(pairs)
+            pairs += [table[0]] * pad
+            mults[0] += pad
+            # padded table: first entry repeated, multiplicity 0 for pad slots
+            # (the upstream 091047f padding fix, Plonk/Lookups.hs:107)
+            n_lut_rows = -(-len(table) // num_lut_slots)
+            padded = list(table) + [table[0]] * (n_lut_rows * num_lut_slots - len(table))
+            padded_mults = mults + [0] * (len(padded) - len(table))
+
+            lut_hash = self._lut_hash(table)
+            lu_gate = Gate("LookupGate", (num_lu_slots, lut_hash))
+            lut_gate = Gate("LookupTableGate", (num_lut_slots, lut_hash, len(self._rows) + n_lu_rows + n_lut_rows - 1))
+
+            lu_rows = []
+            for r in range(n_lu_rows):
+                prefill = {}
+                for j in range(num_lu_slots):
+                    inp, out = pairs[r * num_lu_slots + j]
+                    prefill[2 * j] = inp
+                    prefill[2 * j + 1] = out
+                lu_rows.append(self.add_row(lu_gate, prefill=prefill))
+            # entry i lives in row (n_lut_rows-1 - i // slots), slot i % slots:
+            # RE accumulates upward (re(x) = delta^slots * re(omega x) + row
+            # combos), so entry 0 must sit at the bottom to receive the highest
+            # power of delta in evalFinalRE (Plonk/Lookups.hs:103-109)
+            lut_rows = []
+            for r in range(n_lut_rows):
+                prefill = {}
+                for j in range(num_lut_slots):
+                    i2 = (n_lut_rows - 1 - r) * num_lut_slots + j
+                    prefill[3 * j] = padded[i2][0]
+                    prefill[3 * j + 1] = padded[i2][1]
+                    prefill[3 * j + 2] = padded_mults[i2]
+                lut_rows.append(self.add_row(lut_gate, prefill=prefill))
+            noop_row = self.add_row(Gate("NoopGate"))
+            blocks.append({"lut": k, "lu_rows": lu_rows, "lut_rows": lut_rows, "noop_row": noop_row})
+        return blocks
 
     # -- selector grouping ---------------------------------------------------
     def _group_selectors(self) -> Tuple[List[int], List[Range]]:
@@ -130,6 +218,7 @@ class CircuitBuilder:
 
     # -- build ---------------------------------------------------------------
     def build(self, name: str = "fixture") -> Fixture:
+        lookup_blocks = self._append_lookup_blocks()
         selector_indices, groups = self._group_selectors()
         n_sel = len(groups)
         nluts = len(self.luts)
@@ -217,8 +306,21 @@ class CircuitBuilder:
                 else:
                     col.append(UNUSED_SELECTOR)
             constant_columns.append(col)
-        for _ in range(n_lkp_sel):
-            constant_columns.append([0] * n)  # lookup selectors (no lookups yet)
+        # lookup selector columns (commentary/Lookups.md "Lookup selectors"):
+        # 0 TransSre on LookupTable rows, 1 TransLdc on Lookup rows,
+        # 2 InitSre on the per-block Noop row, 3 LastLdc on the topmost Lookup
+        # row, 4+k on the topmost LookupTable row of table k.
+        if n_lkp_sel:
+            lkp_cols = [[0] * n for _ in range(n_lkp_sel)]
+            for blk in lookup_blocks:
+                for i in blk["lut_rows"]:
+                    lkp_cols[0][i] = 1
+                for i in blk["lu_rows"]:
+                    lkp_cols[1][i] = 1
+                lkp_cols[2][blk["noop_row"]] = 1
+                lkp_cols[3][blk["lu_rows"][0]] = 1
+                lkp_cols[4 + blk["lut"]][blk["lut_rows"][0]] = 1
+            constant_columns.extend(lkp_cols)
         for c_idx in range(self.num_gate_constants):
             constant_columns.append([row.constants[c_idx] % gf.P for row in self._rows])
 
@@ -265,7 +367,11 @@ class CircuitBuilder:
             num_public_inputs=len(self.public_inputs),
             k_is=k_is,
             num_partial_products=-(-self.num_routed // self.maxdeg) - 1,
-            num_lookup_polys=0 if nluts == 0 else 0,  # set by lookup models
+            # 1 RE column + ceil(num_lu_slots / lu_degree) SLDC columns per
+            # challenge round (Plonk/Lookups.hs:64-68)
+            num_lookup_polys=0
+            if nluts == 0
+            else 1 + -(-(self.num_routed // 2) // (self.maxdeg - 1)),
             num_lookup_selectors=n_lkp_sel,
             luts=list(self.luts),
         )

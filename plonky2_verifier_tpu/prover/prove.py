@@ -128,6 +128,60 @@ def compute_partial_product_columns(
     return zs_cols + pp_cols_all, len(zs_cols)
 
 
+def compute_lookup_columns(fixture: Fixture, deltas) -> List[List[int]]:
+    """Per challenge round: the RE column + num_sldc SLDC running-sum columns
+    (commentary/Lookups.md). Accumulation runs from the bottom row upward
+    (row transitions reference omega*x = the row below): zero on each block's
+    Noop row, Sum added across LookupTable rows, LDC subtracted across Lookup
+    rows, closing at zero on the topmost Lookup row. Row roles are read off
+    the committed lookup selector columns, so the columns match exactly what
+    the verifier's equations (Plonk/Lookups.hs:45-132) constrain."""
+    common = fixture.common
+    cfg = common.config
+    n = common.nrows
+    num_lu_slots = cfg.num_routed_wires // 2
+    num_lut_slots = cfg.num_routed_wires // 3
+    num_sldc = common.num_lookup_polys - 1
+    lu_degree = common.quotient_degree_factor - 1
+    lut_degree = -(-num_lut_slots // num_sldc)
+
+    n_sel = len(common.selectors_info.groups)
+    trans_sre = fixture.constant_columns[n_sel + 0]
+    trans_ldc = fixture.constant_columns[n_sel + 1]
+
+    cols: List[List[int]] = []
+    for delta in deltas:
+        re_col = [0] * n
+        sldc_cols = [[0] * n for _ in range(num_sldc)]
+        re_below = 0
+        a_below = 0
+        for i in range(n - 1, -1, -1):
+            w = fixture.witness[i]
+            if trans_sre[i]:  # LookupTable row: RE Horner step + Sum chunks
+                acc = re_below
+                for j in range(num_lut_slots):
+                    acc = (delta.delta * acc + w[3 * j] + delta.b * w[3 * j + 1]) % gf.P
+                re_col[i] = acc
+                prev = a_below
+                for k in range(num_sldc):
+                    for j in range(k * lut_degree, min((k + 1) * lut_degree, num_lut_slots)):
+                        combo = (w[3 * j] + delta.a * w[3 * j + 1]) % gf.P
+                        prev = (prev + w[3 * j + 2] * gf.finv((delta.alpha - combo) % gf.P)) % gf.P
+                    sldc_cols[k][i] = prev
+            elif trans_ldc[i]:  # Lookup row: LDC chunks subtract
+                prev = a_below
+                for k in range(num_sldc):
+                    for j in range(k * lu_degree, min((k + 1) * lu_degree, num_lu_slots)):
+                        combo = (w[2 * j] + delta.a * w[2 * j + 1]) % gf.P
+                        prev = (prev - gf.finv((delta.alpha - combo) % gf.P)) % gf.P
+                    sldc_cols[k][i] = prev
+            re_below = re_col[i]
+            a_below = sldc_cols[-1][i]
+        cols.append(re_col)
+        cols.extend(sldc_cols)
+    return cols
+
+
 def _point_challenges(challenges_ns, x: int):
     """Clone the challenge namespace with zeta := (x, 0) for pointwise LDE
     evaluation of the constraint vector."""
@@ -181,8 +235,10 @@ def prove(fixture: Fixture, grind_hook=None) -> Tuple[VerifierOnlyCircuitData, P
         all4 = betas + gammas + extra
         deltas = [LookupDelta(*all4[i : i + 4]) for i in range(0, len(all4), 4)]
 
-    # 3. partial products -------------------------------------------------
+    # 3. partial products (+ lookup running sums) --------------------------
     pp_columns, n_z = compute_partial_product_columns(fixture, betas, gammas)
+    if common.num_lookup_polys > 0:
+        pp_columns = pp_columns + compute_lookup_columns(fixture, deltas)
     pps = _commit(pp_columns, rate_bits, cap_h)
     d.absorb_cap(pps.tree.cap)
     alphas = d.squeeze_n(r)
