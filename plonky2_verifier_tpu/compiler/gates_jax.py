@@ -55,9 +55,14 @@ class LevelizedProgram:
     mul_dst: np.ndarray
     out_slots: np.ndarray  # (n_constraints,) int32
     n_levels: int
+    out_slots_per_prog: tuple = ()  # when levelizing many programs at once
 
 
-def _levelize(prog: StraightLine, widths: Dict[str, int]) -> LevelizedProgram:
+def _levelize(prog, widths: Dict[str, int]) -> LevelizedProgram:
+    """Levelize one StraightLine program, or a list of them into a single
+    merged program (shared literal pool and input slots, one scan): the DAGs
+    are independent, so their levels interleave and the wave widths add."""
+    progs = prog if isinstance(prog, (list, tuple)) else [prog]
     lit_pool: Dict[int, int] = {}  # value -> slot
     slot_of: Dict[int, int] = {}  # id(node) -> slot
     level_of: Dict[int, int] = {}
@@ -82,10 +87,11 @@ def _levelize(prog: StraightLine, widths: Dict[str, int]) -> LevelizedProgram:
             for a in e.args:
                 collect_lits(a)
 
-    for d in prog.local_defs:
-        collect_lits(d)
-    for c in prog.constraints:
-        collect_lits(c)
+    for pg in progs:
+        for d in pg.local_defs:
+            collect_lits(d)
+        for c in pg.constraints:
+            collect_lits(c)
 
     n_lits = len(lit_pool)
     input_slots: Dict[str, Tuple[int, int]] = {}
@@ -134,14 +140,22 @@ def _levelize(prog: StraightLine, widths: Dict[str, int]) -> LevelizedProgram:
         level_of[key] = l
         return s, l
 
-    for i, d in enumerate(prog.local_defs):
-        s, l = visit(d)
-        local_slot[i] = s
-        local_level[i] = l
-    out = []
-    for c in prog.constraints:
-        s, _ = visit(c)
-        out.append(s)
+    out_per_prog = []
+    for pg in progs:
+        local_slot.clear()
+        local_level.clear()
+        slot_of.clear()
+        level_of.clear()
+        for i, d in enumerate(pg.local_defs):
+            s, l = visit(d)
+            local_slot[i] = s
+            local_level[i] = l
+        outs = []
+        for c in pg.constraints:
+            s, _ = visit(c)
+            outs.append(s)
+        out_per_prog.append(outs)
+    out = [s for outs in out_per_prog for s in outs]
 
     n_levels = max((op[0] for op in ops), default=1)
     adds_per_level: List[List] = [[] for _ in range(n_levels)]
@@ -186,33 +200,32 @@ def _levelize(prog: StraightLine, widths: Dict[str, int]) -> LevelizedProgram:
         mul_dst=md,
         out_slots=np.array(out, dtype=np.int32),
         n_levels=n_levels,
+        out_slots_per_prog=tuple(np.array(o, dtype=np.int32) for o in out_per_prog),
     )
 
 
 @lru_cache(maxsize=None)
 def levelize_gate(gate: Gate, n_sel: int, n_lkp: int, n_const: int, n_wires: int) -> LevelizedProgram:
-    prog = gate_program(gate)
-    lp = _levelize(prog, {SEL: n_sel, LKPSEL: n_lkp, CONST: n_const, WIRE: n_wires, PI: 4})
-    return LevelizedProgram(
-        gate=gate,
-        n_tape=lp.n_tape,
-        lit_values=lp.lit_values,
-        input_slots=lp.input_slots,
-        add_src1=lp.add_src1,
-        add_src2=lp.add_src2,
-        add_sign=lp.add_sign,
-        add_dst=lp.add_dst,
-        mul_src1=lp.mul_src1,
-        mul_src2=lp.mul_src2,
-        mul_dst=lp.mul_dst,
-        out_slots=lp.out_slots,
-        n_levels=lp.n_levels,
-    )
+    lp = _levelize(gate_program(gate), {SEL: n_sel, LKPSEL: n_lkp, CONST: n_const, WIRE: n_wires, PI: 4})
+    object.__setattr__(lp, "gate", gate)
+    return lp
 
 
-def run_levelized(lp: LevelizedProgram, inputs: Dict[str, GExt], batch_shape) -> GExt:
+@lru_cache(maxsize=None)
+def levelize_gates(
+    gates: Tuple[Gate, ...], n_sel: int, n_lkp: int, n_const: int, n_wires: int
+) -> LevelizedProgram:
+    """Merge all gates' programs into one levelized program (one scan for the
+    whole circuit's gate-constraint evaluation); `out_slots_per_prog[i]` holds
+    gate i's constraint slots."""
+    progs = [gate_program(g) for g in gates]
+    return _levelize(progs, {SEL: n_sel, LKPSEL: n_lkp, CONST: n_const, WIRE: n_wires, PI: 4})
+
+
+def run_levelized(lp: LevelizedProgram, inputs: Dict[str, GExt], batch_shape, per_prog: bool = False):
     """Execute a levelized program. `inputs` maps var-kind -> GExt of shape
-    batch_shape + (count,). Returns constraints, shape batch_shape + (n_out,).
+    batch_shape + (count,). Returns constraints, shape batch_shape + (n_out,);
+    with per_prog=True, a list of per-program constraint vectors instead.
     """
     n_lits = len(lp.lit_values)
     tape_init_parts = [jf.ext_zeros(batch_shape + (1,))]
@@ -287,8 +300,14 @@ def run_levelized(lp: LevelizedProgram, inputs: Dict[str, GExt], batch_shape) ->
         jnp.asarray(lp.mul_dst),
     )
     tape_final, _ = jax.lax.scan(body, tape0, xs)
-    out_idx = jnp.asarray(lp.out_slots)
-    return GExt(
-        G(jnp.take(tape_final.re.hi, out_idx, axis=-1), jnp.take(tape_final.re.lo, out_idx, axis=-1)),
-        G(jnp.take(tape_final.im.hi, out_idx, axis=-1), jnp.take(tape_final.im.lo, out_idx, axis=-1)),
-    )
+
+    def gather_out(slots) -> GExt:
+        out_idx = jnp.asarray(slots)
+        return GExt(
+            G(jnp.take(tape_final.re.hi, out_idx, axis=-1), jnp.take(tape_final.re.lo, out_idx, axis=-1)),
+            G(jnp.take(tape_final.im.hi, out_idx, axis=-1), jnp.take(tape_final.im.lo, out_idx, axis=-1)),
+        )
+
+    if per_prog:
+        return [gather_out(s) for s in lp.out_slots_per_prog]
+    return gather_out(lp.out_slots)

@@ -176,38 +176,42 @@ def neg(a: G) -> G:
     return sub(zeros(a.shape), a)
 
 
+def _mul32(a, b):
+    """u32 x u32 -> (hi, lo) u32 via 16-bit halves (4 multiplies)."""
+    a0 = a & MASK16
+    a1 = a >> 16
+    b0 = b & MASK16
+    b1 = b >> 16
+    p00 = a0 * b0
+    p11 = a1 * b1
+    mid = a0 * b1
+    mid2 = mid + a1 * b0
+    midc = (mid2 < mid).astype(U32)  # carry of the 33-bit cross sum
+    lo = p00 + (mid2 << 16)
+    c0 = (lo < p00).astype(U32)
+    hi = p11 + (mid2 >> 16) + (midc << 16) + c0
+    return hi, lo
+
+
 def _mul_128(a: G, b: G):
-    """Full 64x64 -> 128-bit product as four 32-bit words (n3, n2, n1, n0)."""
-    a0 = a.lo & MASK16
-    a1 = a.lo >> 16
-    a2 = a.hi & MASK16
-    a3 = a.hi >> 16
-    b0 = b.lo & MASK16
-    b1 = b.lo >> 16
-    b2 = b.hi & MASK16
-    b3 = b.hi >> 16
-    al = (a0, a1, a2, a3)
-    bl = (b0, b1, b2, b3)
-    # column sums of 16-bit half-products: col[k] collects lo halves of
-    # products with i+j==k and hi halves with i+j==k-1; each term < 2^16 and
-    # there are at most 8, so uint32 accumulation cannot overflow.
-    cols = [jnp.zeros_like(a.lo) for _ in range(8)]
-    for i in range(4):
-        for j in range(4):
-            p = al[i] * bl[j]
-            cols[i + j] = cols[i + j] + (p & MASK16)
-            cols[i + j + 1] = cols[i + j + 1] + (p >> 16)
-    # carry propagate into 16-bit words
-    words = []
-    carry = jnp.zeros_like(a.lo)
-    for k in range(8):
-        c = cols[k] + carry
-        words.append(c & MASK16)
-        carry = c >> 16
-    n0 = words[0] | (words[1] << 16)
-    n1 = words[2] | (words[3] << 16)
-    n2 = words[4] | (words[5] << 16)
-    n3 = words[6] | (words[7] << 16)  # the final carry is provably zero (<2^128)
+    """Full 64x64 -> 128-bit product as four 32-bit words (n3, n2, n1, n0),
+    from four 32x32->64 partial products."""
+    x0h, x0l = _mul32(a.lo, b.lo)
+    xah, xal = _mul32(a.lo, b.hi)
+    xbh, xbl = _mul32(a.hi, b.lo)
+    x2h, x2l = _mul32(a.hi, b.hi)
+    n0 = x0l
+    t = x0h + xal
+    c1 = (t < xal).astype(U32)
+    n1 = t + xbl
+    c2 = (n1 < t).astype(U32)
+    s = x2l + xah
+    c3 = (s < xah).astype(U32)
+    s2 = s + xbh
+    c4 = (s2 < s).astype(U32)
+    n2 = s2 + (c1 + c2)
+    c5 = (n2 < s2).astype(U32)
+    n3 = x2h + c3 + c4 + c5  # cannot overflow: full product < 2^128
     return n3, n2, n1, n0
 
 
@@ -342,6 +346,10 @@ def ext_equal(a: GExt, b: GExt):
 
 def ext_stack(xs, axis=0) -> GExt:
     return GExt(stack([x.re for x in xs], axis), stack([x.im for x in xs], axis))
+
+
+def ext_concat(xs, axis=0) -> GExt:
+    return GExt(concat([x.re for x in xs], axis), concat([x.im for x in xs], axis))
 
 
 def emul(a: GExt, b: GExt) -> GExt:

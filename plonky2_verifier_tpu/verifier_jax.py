@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .compiler.gates_jax import levelize_gate, run_levelized
+from .compiler.gates_jax import levelize_gates, run_levelized
 from .compiler.template import CircuitTemplate
 from .gates import CONST, LKPSEL, PI, SEL, WIRE
 from .golden import field as gf
@@ -60,16 +60,60 @@ def horner_ext(values: GExt, point: GExt) -> GExt:
 
 def horner_scaled(values: GExt, scale: G) -> GExt:
     """sum_i scale^i values[..., i] with a *base-field* scale
-    (combineWithPowersOfAlpha, Plonk/Vanishing.hs:52-56)."""
+    (combineWithPowersOfAlpha, Plonk/Vanishing.hs:52-56).
+
+    `scale` may carry extra trailing axes (e.g. a challenge-round axis):
+    values (B, K) with scale (B, r) -> result (B, r), accumulated once per
+    scale lane via broadcasting."""
+    extra = scale.shape[len(values.shape[:-1]) :]
     xs = _move_axis_to_front(values, -1)
 
     def body(acc, v):
+        if extra:
+            v = jax.tree.map(lambda t: t.reshape(t.shape + (1,) * len(extra)), v)
         return v + GExt(jf.mul(scale, acc.re), jf.mul(scale, acc.im)), None
 
-    init = jf.ext_zeros(values.shape[:-1])
+    init = jf.ext_zeros(values.shape[:-1] + extra)
     xs_rev = jax.tree.map(lambda x: jnp.flip(x, 0), xs)
     acc, _ = jax.lax.scan(body, init, xs_rev)
     return acc
+
+
+def _unsq(x, axis: int):
+    """Insert a broadcastable singleton axis into a G/GExt tree."""
+    return jax.tree.map(lambda t: jnp.expand_dims(t, axis), x)
+
+
+def tree_prod_last(v: GExt) -> GExt:
+    """Product over the last axis by halving (pads odd widths with 1)."""
+    width = v.shape[-1]
+    while width > 1:
+        if width % 2:
+            pad = jf.ext_constant(1, shape=v.shape[:-1] + (1,))
+            v = jf.ext_concat([v, pad], axis=-1)
+            width += 1
+        half = width // 2
+        v = jf.emul(v[..., :half], v[..., half:])
+        width = half
+    return v[..., 0]
+
+
+def ext_sum_axis(v: GExt, axis: int) -> GExt:
+    """Sum a GExt over `axis` by halving (few add instances, not a fold)."""
+    v = _move_axis_to_front(v, axis)
+    width = v.shape[0]
+    if width == 0:
+        raise ValueError("empty sum")
+    while width > 1:
+        if width % 2:
+            v = jax.tree.map(
+                lambda t: jnp.concatenate([t, jnp.zeros_like(t[:1])], axis=0), v
+            )
+            width += 1
+        half = width // 2
+        v = v[:half] + v[half:]
+        width = half
+    return v[0]
 
 
 def sponge_rows(rows: G, width: int) -> G:
@@ -134,8 +178,6 @@ class JaxVerifier:
     def __init__(self, tpl: CircuitTemplate, debug: bool = False):
         self.tpl = tpl
         self.debug = debug
-        if tpl.common.num_lookup_polys > 0:
-            raise NotImplementedError("lookup circuits land in the lookup milestone")
         assert tpl.lde_bits <= 32 and tpl.pow_bits <= 32
 
         # static transcript schedule -> scan arrays
@@ -148,13 +190,14 @@ class JaxVerifier:
                 self._ov_mask[i, lane] = True
                 self._ov_idx[i, lane] = pos
 
-        # levelized programs per gate
-        self._gate_programs = [
-            levelize_gate(
-                g, tpl.n_gate_selectors, tpl.n_lookup_selectors, tpl.n_gate_constants, tpl.num_wires
-            )
-            for g in tpl.common.gates
-        ]
+        # one merged levelized program for all gates (single scan)
+        self._gates_program = levelize_gates(
+            tuple(tpl.common.gates),
+            tpl.n_gate_selectors,
+            tpl.n_lookup_selectors,
+            tpl.n_gate_constants,
+            tpl.num_wires,
+        )
 
         self._jitted = jax.jit(self._verify)
 
@@ -259,10 +302,20 @@ class JaxVerifier:
         s0 += tpl.n_pp
         quots = o1[:, s0 : s0 + tpl.n_quot]
         s0 += tpl.n_quot
+        lookup_zs = o1[:, s0 : s0 + tpl.n_lookup]
         zs_next = o2[:, : tpl.n_zs]
+        lookup_zs_next = o2[:, tpl.n_zs :]
+
+        # lookup challenge 4-tuples = chunks of betas ++ gammas ++ deltas
+        # (Challenge/Verifier.hs:82-86)
+        deltas = []
+        if tpl.common.num_lookup_polys > 0:
+            all4 = betas + gammas + ch["deltas"]
+            deltas = [tuple(all4[i : i + 4]) for i in range(0, len(all4), 4)]
 
         eqs_ok = self._plonk_checks(
-            a, pi_hash, constants, sigmas, wires, zs, zs_next, pps, quots, betas, gammas, alphas, zeta
+            a, pi_hash, constants, sigmas, wires, zs, zs_next, pps, lookup_zs,
+            lookup_zs_next, quots, betas, gammas, alphas, deltas, zeta
         )
 
         fri_ok = self._fri_checks(a, o1, o2, zeta, fri_alpha, fri_betas, pow_response, qidx, final_poly)
@@ -283,8 +336,12 @@ class JaxVerifier:
 
     # -- plonk --------------------------------------------------------------
     def _plonk_checks(
-        self, a, pi_hash, constants, sigmas, wires, zs, zs_next, pps, quots, betas, gammas, alphas, zeta
+        self, a, pi_hash, constants, sigmas, wires, zs, zs_next, pps, lookup_zs, lookup_zs_next, quots, betas, gammas, alphas, deltas, zeta
     ):
+        """All Plonk checks at zeta, with challenge rounds / gates / chunks as
+        tensor axes rather than Python loops: every field op below is emitted
+        once, keeping the HLO module small (XLA compile time is superlinear
+        in module size) while the batched shapes carry the parallelism."""
         tpl = self.tpl
         common = tpl.common
         r = tpl.r
@@ -299,78 +356,52 @@ class JaxVerifier:
         # L0(zeta)(z-1) -----------------------------------------------------
         zeta_n = jf.ext_pow_const(zeta, n)
         one = jf.ext_constant(1, shape=(B,))
+        nval = jf.constant(n % gf.P, (B,))
         lag0 = jf.ext_div(
-            zeta_n - one,
-            GExt(jf.mul(jf.constant(n % gf.P, (B,)), (zeta - one).re), jf.mul(jf.constant(n % gf.P, (B,)), (zeta - one).im)),
+            zeta_n - one, GExt(jf.mul(nval, (zeta - one).re), jf.mul(nval, (zeta - one).im))
         )
-        zs1 = jf.ext_stack([jf.emul(lag0, zs[:, i] - one) for i in range(r)], axis=1)  # (B, r)
+        zs1 = jf.emul(_unsq(lag0, 1), zs - jf.ext_constant(1, shape=(B, 1)))  # (B, r)
 
-        # partial products --------------------------------------------------
-        k_is = jf.from_u64(np.array(common.k_is, dtype=np.uint64))  # (80,)
-        n_chunks = tpl.n_sigmas // maxdeg  # 10
-        pp_rounds = []
-        for ri in range(r):
-            beta = betas[ri]
-            gamma = gammas[ri]
-            bk = jf.mul(G(jnp.broadcast_to(beta.hi[:, None], (B, tpl.n_sigmas)), jnp.broadcast_to(beta.lo[:, None], (B, tpl.n_sigmas))), G(jnp.broadcast_to(k_is.hi, (B, tpl.n_sigmas)), jnp.broadcast_to(k_is.lo, (B, tpl.n_sigmas))))
-            gamma_b = G(jnp.broadcast_to(gamma.hi[:, None], (B, tpl.n_sigmas)), jnp.broadcast_to(gamma.lo[:, None], (B, tpl.n_sigmas)))
-            routed = wires[:, : tpl.n_sigmas]
-            # numer = w + beta*k_i*zeta + gamma ; denom = w + beta*sigma + gamma
-            zre = G(
-                jnp.broadcast_to(zeta.re.hi[:, None], bk.hi.shape),
-                jnp.broadcast_to(zeta.re.lo[:, None], bk.hi.shape),
-            )
-            zim = G(
-                jnp.broadcast_to(zeta.im.hi[:, None], bk.hi.shape),
-                jnp.broadcast_to(zeta.im.lo[:, None], bk.hi.shape),
-            )
-            bz = GExt(jf.mul(bk, zre), jf.mul(bk, zim))
-            numer = GExt(
-                jf.add(jf.add(routed.re, bz.re), gamma_b),
-                jf.add(routed.im, bz.im),
-            )
-            beta_b = G(jnp.broadcast_to(beta.hi[:, None], (B, tpl.n_sigmas)), jnp.broadcast_to(beta.lo[:, None], (B, tpl.n_sigmas)))
-            bs = GExt(jf.mul(beta_b, sigmas.re), jf.mul(beta_b, sigmas.im))
-            denom = GExt(jf.add(jf.add(routed.re, bs.re), gamma_b), jf.add(routed.im, bs.im))
-
-            def chunk_prod(v: GExt) -> GExt:
-                v = GExt(
-                    v.re.reshape(B, n_chunks, maxdeg),
-                    v.im.reshape(B, n_chunks, maxdeg),
-                )
-                cur = v
-                width = maxdeg
-                while width > 1:
-                    half = width // 2
-                    cur = jf.emul(cur[:, :, :half], cur[:, :, half : 2 * half])
-                    if width % 2:
-                        cur = jf.emul(cur, GExt(G(v.re.hi[:, :, -1:], v.re.lo[:, :, -1:]), G(v.im.hi[:, :, -1:], v.im.lo[:, :, -1:])))
-                    width = half
-                return cur[:, :, 0]  # (B, n_chunks)
-
-            numprod = chunk_prod(numer)
-            denprod = chunk_prod(denom)
-            pp_round = pps[:, ri * common.num_partial_products : (ri + 1) * common.num_partial_products]
-            current = jf.ext_stack(
-                [zs[:, ri]] + [pp_round[:, i] for i in range(common.num_partial_products)] + [zs_next[:, ri]],
-                axis=1,
-            )  # (B, n_chunks + 1)
-            prev = current[:, :-1]
-            nxt = current[:, 1:]
-            pp_rounds.append(jf.emul(prev, numprod) - jf.emul(nxt, denprod))  # (B, n_chunks)
-        pp_vec = GExt(
-            G(
-                jnp.concatenate([p.re.hi for p in pp_rounds], axis=1),
-                jnp.concatenate([p.re.lo for p in pp_rounds], axis=1),
-            ),
-            G(
-                jnp.concatenate([p.im.hi for p in pp_rounds], axis=1),
-                jnp.concatenate([p.im.lo for p in pp_rounds], axis=1),
-            ),
+        # partial products: all rounds + numer/denom in one tensor ----------
+        ns = tpl.n_sigmas
+        n_chunks = ns // maxdeg
+        k_is = jf.from_u64(np.array(common.k_is, dtype=np.uint64))  # (ns,)
+        beta_s = _unsq(jf.stack(betas, axis=1), -1)  # (B, r, 1)
+        gamma_s = _unsq(jf.stack(gammas, axis=1), -1)
+        routed = _unsq(wires[:, :ns], 1)  # (B, 1, ns)
+        bk = jf.mul(beta_s, _unsq(_unsq(k_is, 0), 0))  # (B, r, ns)
+        zeta_b = _unsq(_unsq(zeta, 1), 1)
+        bz = GExt(jf.mul(bk, zeta_b.re), jf.mul(bk, zeta_b.im))
+        numer = GExt(
+            jf.add(jf.add(routed.re, bz.re), gamma_s), jf.add(routed.im, bz.im)
         )
+        sig_b = _unsq(sigmas, 1)
+        bs = GExt(jf.mul(beta_s, sig_b.re), jf.mul(beta_s, sig_b.im))
+        denom = GExt(jf.add(jf.add(routed.re, bs.re), gamma_s), jf.add(routed.im, bs.im))
+        nd = jf.ext_stack([numer, denom], axis=2)  # (B, r, 2, ns)
+        nd = GExt(
+            nd.re.reshape(B, r, 2, n_chunks, maxdeg), nd.im.reshape(B, r, 2, n_chunks, maxdeg)
+        )
+        prods = tree_prod_last(nd)  # (B, r, 2, n_chunks)
+        pp_round = GExt(
+            pps.re.reshape(B, r, common.num_partial_products),
+            pps.im.reshape(B, r, common.num_partial_products),
+        )
+        current = jf.ext_concat(
+            [_unsq(zs, -1), pp_round, _unsq(zs_next, -1)], axis=-1
+        )  # (B, r, n_chunks + 1)
+        pv = jf.ext_stack([current[..., :-1], current[..., 1:]], axis=2)  # (B, r, 2, n_chunks)
+        pn = jf.emul(pv, prods)
+        diff = pn[:, :, 0] - pn[:, :, 1]  # (B, r, n_chunks)
+        pp_vec = GExt(diff.re.reshape(B, r * n_chunks), diff.im.reshape(B, r * n_chunks))
 
-        # gate constraints --------------------------------------------------
-        sel_values = self._eval_selectors(gate_sels)  # list per gate, (B,)
+        # lookup argument ----------------------------------------------------
+        lookup_vec = None
+        if common.num_lookup_polys > 0:
+            lookup_vec = self._lookup_checks(lkp_sels, wires, lookup_zs, lookup_zs_next, deltas)
+
+        # gate constraints ---------------------------------------------------
+        sel_values = self._eval_selectors(gate_sels)  # (B, n_gates)
         inputs = {
             SEL: gate_sels,
             LKPSEL: lkp_sels,
@@ -379,73 +410,241 @@ class JaxVerifier:
             PI: GExt(pi_hash, jf.zeros(pi_hash.shape)),
         }
         n_gc = tpl.common.num_gate_constraints
-        acc = jf.ext_zeros((B, n_gc))
-        for gi, lp in enumerate(self._gate_programs):
-            if len(lp.out_slots) == 0:
+        cons_per_gate = run_levelized(self._gates_program, inputs, (B,), per_prog=True)
+        cons_rows = []
+        live_gates = []
+        for gi, cons in enumerate(cons_per_gate):
+            if cons.shape[-1] == 0:
                 continue
-            cons = run_levelized(lp, inputs, (B,))  # (B, n_out)
-            sel = sel_values[gi]
-            # filtered = sel (ext scalar) * cons (ext vector)
-            sel_b_re = G(jnp.broadcast_to(sel.re.hi[:, None], cons.shape), jnp.broadcast_to(sel.re.lo[:, None], cons.shape))
-            sel_b_im = G(jnp.broadcast_to(sel.im.hi[:, None], cons.shape), jnp.broadcast_to(sel.im.lo[:, None], cons.shape))
-            filt = jf.emul(GExt(sel_b_re, sel_b_im), cons)
             pad = n_gc - cons.shape[-1]
             if pad:
-                filt = GExt(
-                    G(
-                        jnp.pad(filt.re.hi, ((0, 0), (0, pad))),
-                        jnp.pad(filt.re.lo, ((0, 0), (0, pad))),
-                    ),
-                    G(
-                        jnp.pad(filt.im.hi, ((0, 0), (0, pad))),
-                        jnp.pad(filt.im.lo, ((0, 0), (0, pad))),
-                    ),
-                )
-            acc = acc + filt
+                cons = jax.tree.map(lambda t: jnp.pad(t, ((0, 0), (0, pad))), cons)
+            cons_rows.append(cons)
+            live_gates.append(gi)
+        acc = jf.ext_zeros((B, n_gc))
+        if cons_rows:
+            cons_all = jf.ext_stack(cons_rows, axis=1)  # (B, G, n_gc)
+            sel_live = sel_values[:, np.array(live_gates)]
+            filt = jf.emul(_unsq(sel_live, -1), cons_all)
+            acc = ext_sum_axis(filt, axis=1)
 
-        # assemble + alpha-combine ------------------------------------------
-        def cat_ext(parts: List[GExt]) -> GExt:
-            return GExt(
-                G(
-                    jnp.concatenate([p.re.hi for p in parts], axis=1),
-                    jnp.concatenate([p.re.lo for p in parts], axis=1),
-                ),
-                G(
-                    jnp.concatenate([p.im.hi for p in parts], axis=1),
-                    jnp.concatenate([p.im.lo for p in parts], axis=1),
-                ),
-            )
+        # assemble + alpha-combine -------------------------------------------
+        parts = [zs1, pp_vec] + ([lookup_vec] if lookup_vec is not None else []) + [acc]
+        constraint_vec = jf.ext_concat(parts, axis=1)  # (B, K)
 
-        constraint_vec = cat_ext([zs1, pp_vec, acc])  # (B, K)
+        alpha_s = jf.stack(alphas, axis=1)  # (B, r)
+        combined = horner_scaled(constraint_vec, alpha_s)  # (B, r)
+        quots_r = GExt(quots.re.reshape(B, r, maxdeg), quots.im.reshape(B, r, maxdeg))
+        zeta_n_r = GExt(
+            G(jnp.broadcast_to(zeta_n.re.hi[:, None], (B, r)), jnp.broadcast_to(zeta_n.re.lo[:, None], (B, r))),
+            G(jnp.broadcast_to(zeta_n.im.hi[:, None], (B, r)), jnp.broadcast_to(zeta_n.im.lo[:, None], (B, r))),
+        )
+        q = horner_ext(quots_r, zeta_n_r)
+        zn1 = zeta_n - one
+        ok = jf.ext_equal(jf.emul(q, _unsq(zn1, 1)), combined)  # (B, r)
+        return ok.all(axis=1)
 
-        oks = []
-        zn1 = zeta_n - jf.ext_constant(1, shape=(B,))
-        for ri in range(r):
-            combined = horner_scaled(constraint_vec, alphas[ri])
-            chunk = quots[:, ri * maxdeg : (ri + 1) * maxdeg]
-            q = horner_ext(chunk, zeta_n)
-            oks.append(jf.ext_equal(jf.emul(q, zn1), combined))
-        return jnp.stack(oks, axis=1).all(axis=1)
-
-    def _eval_selectors(self, gate_sels: GExt) -> List[GExt]:
-        """Closed-form selector values per gate (Gate/Selector.hs:78-95)."""
+    def _eval_selectors(self, gate_sels: GExt) -> GExt:
+        """Closed-form selector values for all gates at once
+        (Gate/Selector.hs:78-95): per gate, (optional UNUSED factor) times
+        prod_{j in group, j != gate}(j - x). Factors are packed into a static
+        (n_gates, span) constant/mask matrix and multiplied out with a
+        log-depth tree product."""
         tpl = self.tpl
         si = tpl.common.selectors_info
         B = gate_sels.shape[0]
-        out = []
+        n_gates = len(si.selector_indices)
         multi = len(si.groups) > 1
-        for gate_idx, grp in enumerate(si.selector_indices):
-            x = gate_sels[:, grp]
+        span = max(g.end - g.start for g in si.groups) - 1 + (1 if multi else 0)
+        span = max(span, 1)
+        tmat = np.zeros((n_gates, span), dtype=np.uint64)
+        mask = np.zeros((n_gates, span), dtype=bool)
+        cols = np.array(si.selector_indices, dtype=np.int64)
+        for g, grp in enumerate(si.selector_indices):
             rng = si.groups[grp]
-            if multi:
-                value = GExt(jf.constant(UNUSED_SELECTOR, (B,)), jf.zeros((B,))) - x
-            else:
-                value = jf.ext_constant(1, shape=(B,))
-            for j in range(rng.start, rng.end):
-                if j != gate_idx:
-                    value = jf.emul(value, GExt(jf.constant(j, (B,)), jf.zeros((B,))) - x)
-            out.append(value)
-        return out
+            fs = ([UNUSED_SELECTOR] if multi else []) + [
+                j for j in range(rng.start, rng.end) if j != g
+            ]
+            tmat[g, : len(fs)] = fs
+            mask[g, : len(fs)] = True
+        x = gate_sels[:, cols]  # (B, n_gates)
+        consts = _unsq(jf.ext_from_u64(tmat, np.zeros_like(tmat)), 0)  # (1, n_gates, span)
+        terms = jf.ext_where(
+            jnp.asarray(mask),
+            consts - _unsq(x, -1),
+            jf.ext_constant(1, shape=(1, 1, 1)),
+        )  # (B, n_gates, span)
+        return tree_prod_last(terms)  # (B, n_gates)
+
+    def _lookup_checks(self, lkp_sels: GExt, wires: GExt, lookup_zs: GExt, lookup_zs_next: GExt, deltas) -> GExt:
+        """Log-derivative lookup equations (Plonk/Lookups.hs:45-132), all
+        challenge rounds batched on a leading round axis. Per round the
+        canonical order is [last_sldc, init_sum, init_re] ++ finals_re ++
+        [re_trans] ++ interleaved (sum_trans, ldc_trans) per SLDC chunk."""
+        tpl = self.tpl
+        common = tpl.common
+        cfg = common.config
+        r = tpl.r
+        B = wires.shape[0]
+        nluts = common.num_luts
+        num_lu = cfg.num_routed_wires // 2
+        num_lut = cfg.num_routed_wires // 3
+        n_sldc = common.num_lookup_polys - 1
+        lu_deg = common.quotient_degree_factor - 1
+        lut_deg = -(-num_lut // n_sldc)
+
+        # challenges per round: (a, b, alpha, delta), base field (B, r)
+        av = jf.stack([d[0] for d in deltas], axis=1)
+        bv = jf.stack([d[1] for d in deltas], axis=1)
+        alv = jf.stack([d[2] for d in deltas], axis=1)
+        dlv = jf.stack([d[3] for d in deltas], axis=1)
+
+        # lookup_zs layout per round: [RE, SLDC_0..SLDC_{n_sldc-1}]
+        lz = GExt(
+            lookup_zs.re.reshape(B, r, common.num_lookup_polys),
+            lookup_zs.im.reshape(B, r, common.num_lookup_polys),
+        )
+        lzn = GExt(
+            lookup_zs_next.re.reshape(B, r, common.num_lookup_polys),
+            lookup_zs_next.im.reshape(B, r, common.num_lookup_polys),
+        )
+        re_o, sldc = lz[..., 0], lz[..., 1:]
+        re_next, sldc_next = lzn[..., 0], lzn[..., 1:]
+
+        def sel(i: int, rank: int = 2) -> GExt:
+            """Selector opening reshaped to (B, 1, ..., 1) for rank-`rank` use."""
+            s = lkp_sels[:, i]
+            return jax.tree.map(lambda t: t.reshape((B,) + (1,) * (rank - 1)), s)
+
+        pairs_in = _unsq(wires[:, 0 : 2 * num_lu : 2], 1)  # (B, 1, num_lu)
+        pairs_out = _unsq(wires[:, 1 : 2 * num_lu : 2], 1)
+        trip_in = _unsq(wires[:, 0 : 3 * num_lut : 3], 1)  # (B, 1, num_lut)
+        trip_out = _unsq(wires[:, 1 : 3 * num_lut : 3], 1)
+        trip_mult = _unsq(wires[:, 2 : 3 * num_lut : 3], 1)
+
+        def combo(inp: GExt, out: GExt, c: G) -> GExt:
+            c = _unsq(c, -1)  # (B, r, 1)
+            return GExt(
+                jf.add(inp.re, jf.mul(c, out.re)), jf.add(inp.im, jf.mul(c, out.im))
+            )  # (B, r, slots)
+
+        lu_combos = combo(pairs_in, pairs_out, av)
+        lut_combos_a = combo(trip_in, trip_out, av)
+        lut_combos_b = combo(trip_in, trip_out, bv)
+
+        alpha_e = GExt(_unsq(alv, -1), jf.zeros((B, r, 1)))
+
+        def chunked_terms(combos: GExt, deg: int, slots: int):
+            """(terms, weights_mask): terms (B, r, n_sldc, deg) = alpha-combo,
+            padded with 1; mask marks real slots."""
+            pad = n_sldc * deg - slots
+            t = alpha_e - combos  # (B, r, slots)
+            if pad:
+                t = jf.ext_concat(
+                    [t, jf.ext_constant(1, shape=(B, r, pad))], axis=-1
+                )
+            t = GExt(t.re.reshape(B, r, n_sldc, deg), t.im.reshape(B, r, n_sldc, deg))
+            m = np.zeros((n_sldc, deg), dtype=bool)
+            m.reshape(-1)[:slots] = True
+            return t, m
+
+        lu_terms, lu_mask = chunked_terms(lu_combos, lu_deg, num_lu)
+        lut_terms, lut_mask = chunked_terms(lut_combos_a, lut_deg, num_lut)
+
+        def loo(terms: GExt, deg: int):
+            """(full product, leave-one-out products) over the last axis via
+            prefix/suffix products: prod (B,r,C), loo (B,r,C,deg)."""
+            one_t = jf.ext_constant(1, shape=terms.shape[:-1] + (1,))
+            pre = [one_t[..., 0]]
+            for i in range(deg - 1):
+                pre.append(jf.emul(pre[-1], terms[..., i]))
+            suf = [one_t[..., 0]]
+            for i in range(deg - 1, 0, -1):
+                suf.append(jf.emul(suf[-1], terms[..., i]))
+            suf = suf[::-1]
+            pre_s = jf.ext_stack(pre, axis=-1)
+            suf_s = jf.ext_stack(suf, axis=-1)
+            full = jf.emul(pre_s[..., -1], terms[..., -1])
+            return full, jf.emul(pre_s, suf_s)
+
+        lu_prod, lu_loo = loo(lu_terms, lu_deg)
+        lut_prod, lut_loo = loo(lut_terms, lut_deg)
+        # masked leave-one-out sums: padded slots contribute 0
+        lu_sum = ext_sum_axis(
+            jf.ext_where(jnp.asarray(lu_mask), lu_loo, jf.ext_zeros((1, 1, 1, 1))), -1
+        )
+        mult_pad = n_sldc * lut_deg - num_lut
+        mults = trip_mult
+        if mult_pad:
+            mults = jf.ext_concat([mults, jf.ext_zeros((B, 1, mult_pad))], axis=-1)
+        mults = GExt(
+            G(
+                mults.re.hi.reshape(B, 1, n_sldc, lut_deg),
+                mults.re.lo.reshape(B, 1, n_sldc, lut_deg),
+            ),
+            G(
+                mults.im.hi.reshape(B, 1, n_sldc, lut_deg),
+                mults.im.lo.reshape(B, 1, n_sldc, lut_deg),
+            ),
+        )
+        lut_sum = ext_sum_axis(
+            jf.ext_where(jnp.asarray(lut_mask), jf.emul(mults, lut_loo), jf.ext_zeros((1, 1, 1, 1))),
+            -1,
+        )
+
+        # transitions: prev of chunk 0 is SLDC_last(omega x)
+        prev = jf.ext_concat([_unsq(sldc_next[..., -1], -1), sldc[..., :-1]], axis=-1)
+        dmin = sldc - prev  # (B, r, n_sldc)
+        eq_sum_t = jf.emul(sel(0, 3), jf.emul(lut_prod, dmin) - lut_sum)  # TransSre
+        eq_ldc_t = jf.emul(sel(1, 3), jf.emul(lu_prod, dmin) + lu_sum)  # TransLdc
+        # interleave (sum, ldc) per chunk -> (B, r, 2*n_sldc)
+        inter = jf.ext_stack([eq_sum_t, eq_ldc_t], axis=-1)
+        inter = GExt(inter.re.reshape(B, r, 2 * n_sldc), inter.im.reshape(B, r, 2 * n_sldc))
+
+        # RE transition: re - (delta-Horner from re_next over combos_B)
+        def re_scan(acc, v):
+            return GExt(
+                jf.add(jf.mul(dlv, acc.re), v.re), jf.add(jf.mul(dlv, acc.im), v.im)
+            ), None
+
+        combos_b_f = _move_axis_to_front(lut_combos_b, -1)  # (num_lut, B, r)
+        cur_sum, _ = jax.lax.scan(re_scan, re_next, combos_b_f)
+        eq_re_t = jf.emul(sel(0), re_o - cur_sum)  # (B, r)
+
+        # final RE per LUT: evaluate the padded table polynomial at delta —
+        # coefficients are static, so it is two base-field Horner scans
+        eq_finals = []
+        for k, table in enumerate(common.luts):
+            lut_nrows = -(-len(table) // num_lut)
+            padded = list(table) + [table[0]] * (lut_nrows * num_lut - len(table))
+            ins = np.array([t[0] for t in padded], dtype=np.uint64)
+            outs = np.array([t[1] for t in padded], dtype=np.uint64)
+
+            def horner_pair(coeffs):
+                def body(acc, c):
+                    return jf.add(jf.mul(dlv, acc), c.broadcast_to(acc.shape)), None
+
+                acc0 = jf.zeros((B, r))
+                acc, _ = jax.lax.scan(body, acc0, jf.from_u64(coeffs))
+                return acc
+
+            expected = jf.add(horner_pair(ins), jf.mul(bv, horner_pair(outs)))  # (B, r)
+            eq_finals.append(jf.emul(sel(4 + k), re_o - GExt(expected, jf.zeros((B, r)))))
+
+        eq_last = jf.emul(sel(3), sldc[..., -1])  # LastLdc
+        eq_ini_sum = jf.emul(sel(2), sldc[..., 0])  # InitSre
+        eq_ini_re = jf.emul(sel(2), re_o)
+
+        per_round = jf.ext_concat(
+            [_unsq(eq_last, -1), _unsq(eq_ini_sum, -1), _unsq(eq_ini_re, -1)]
+            + [_unsq(e, -1) for e in eq_finals]
+            + [_unsq(eq_re_t, -1), inter],
+            axis=-1,
+        )  # (B, r, 4 + nluts + 2*n_sldc)
+        k_round = per_round.shape[-1]
+        return GExt(
+            per_round.re.reshape(B, r * k_round), per_round.im.reshape(B, r * k_round)
+        )
 
     # -- FRI ----------------------------------------------------------------
     def _fri_checks(self, a, o1, o2, zeta, fri_alpha, fri_betas, pow_response, qidx, final_poly):
@@ -592,14 +791,15 @@ class JaxVerifier:
             yprime, _ = jax.lax.scan(idft_body, acc0, xs)
             # y_k = (1/A) * offset^{-k} * y'_k
             off_inv = jf.inv(offset)
-            # powers 0..A-1 of off_inv: sequential squaring-free scan
-            pw = jf.constant(1, (B, Q))
-            pw_list = []
-            for k in range(arity):
-                pw_list.append(pw)
-                if k + 1 < arity:
-                    pw = jf.mul(pw, off_inv)
-            pows = jf.stack([p for p in pw_list], axis=-1)  # (B, Q, A)
+            # powers 0..A-1 of off_inv by log-doubling: [p] -> [p, p*x^k]
+            pows = jf.constant(1, (B, Q, 1))
+            cur = off_inv
+            while pows.shape[-1] < arity:
+                cur_b = G(cur.hi[..., None], cur.lo[..., None])
+                pows = jf.concat([pows, jf.mul(pows, cur_b)], axis=-1)
+                if pows.shape[-1] < arity:
+                    cur = jf.square(cur)
+            pows = pows[..., :arity]  # (B, Q, A)
             ys = GExt(jf.mul(pows, yprime.re), jf.mul(pows, yprime.im))
             inv_arity = jf.constant(gf.finv(arity % gf.P), (B, Q))
             folded = horner_ext(ys, self._bq2(fri_betas[s], (B, Q)))

@@ -62,7 +62,7 @@ timeit(
 # levelized arithmetic gate
 from plonky2_verifier_tpu.compiler.gates_jax import run_levelized
 
-lp = v._gate_programs[0]
+lp = v._gates_program
 inputs = {
     "sel": jf.ext_zeros((B, tpl.n_gate_selectors)),
     "lkpsel": jf.ext_zeros((B, 0)),
@@ -70,7 +70,7 @@ inputs = {
     "wire": jf.ext_zeros((B, 135)),
     "pi": jf.ext_zeros((B, 4)),
 }
-timeit(f"gate_{lp.gate.kind}", lambda i: run_levelized(lp, i, (B,)), inputs)
+timeit("gates_merged", lambda i: run_levelized(lp, i, (B,)), inputs)
 
 # ext division (inversion chain)
 timeit("ext_div", jf.ext_div, jf.ext_constant(5, shape=(B, 6)), jf.ext_constant(7, shape=(B, 6)))
