@@ -10,19 +10,26 @@ from .builder import CircuitBuilder, Fixture
 
 
 def fibonacci_fixture(
-    n_arith_rows: int = 5, num_query_rounds: int = 28, proof_of_work_bits: int = 8, seed: int = 0
+    n_arith_rows: int = 5,
+    num_query_rounds: int = 28,
+    proof_of_work_bits: int = 8,
+    seed: int = 0,
+    x0: int = 1,
+    x1: int = 2,
 ) -> Fixture:
     """Compute fib-style chain x_{k+2} = x_k + x_{k+1} across `n_arith_rows`
     ArithmeticGate rows (20 ops each), with:
     - op output routed into the next op's inputs (copy constraints),
     - the constant 1 (the `y` multiplicand) routed from a ConstantGate row,
-    - public inputs [x0, x1, result]."""
+    - public inputs [x0, x1, result].
+
+    Different (x0, x1) produce distinct proofs over the *same* circuit shape
+    (identical CommonCircuitData/template) — used for heterogeneous-batch
+    tests where every lane must carry a genuinely different transcript."""
     b = CircuitBuilder(seed=seed, num_query_rounds=num_query_rounds, proof_of_work_bits=proof_of_work_bits)
     arith = Gate("ArithmeticGate", (20,))
     const = Gate("ConstantGate", (2,))
     pi = Gate("PublicInputGate")
-
-    x0, x1 = 1, 2
     seq = [x0, x1]
     total_ops = 20 * n_arith_rows
     for _ in range(total_ops):

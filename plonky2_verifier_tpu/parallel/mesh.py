@@ -74,7 +74,9 @@ class ShardedVerifier:
 
     def __call__(self, sharded_arrays):
         if self._compiled is None:
-            in_shardings = jax.tree.map(lambda x: x.sharding, sharded_arrays)
+            # in_shardings maps over the *positional-argument tuple*, so the
+            # per-array sharding pytree must be wrapped in a singleton tuple.
+            in_shardings = (jax.tree.map(lambda x: x.sharding, sharded_arrays),)
             out_shardings = {
                 "ok": NamedSharding(self.mesh, PS("dp")),
                 "n_valid": NamedSharding(self.mesh, PS()),  # replicated => psum
