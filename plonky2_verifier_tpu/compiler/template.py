@@ -36,6 +36,13 @@ class CircuitTemplate:
     def __post_init__(self):
         common = self.common
         cfg = common.config
+        # every gate must have a constraint program; an UnknownGate in the
+        # vkey is a clean host-side error, never a device verdict (the
+        # reference parses it, Gate/Parser.hs:130, but cannot evaluate it)
+        from ..gates import gate_program
+
+        for g in common.gates:
+            gate_program(g)  # raises ValueError("unknown gate: ...") if unsupported
         self.r = cfg.num_challenges
         self.n = common.nrows
         self.degree_bits = common.fri_params.degree_bits

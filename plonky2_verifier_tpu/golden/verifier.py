@@ -18,12 +18,17 @@ def verify_proof(
     vkey: VerifierOnlyCircuitData,
     proof_with_pis: ProofWithPublicInputs,
 ) -> bool:
-    try:
-        challenges = proof_challenges(common, vkey, proof_with_pis)
-        eqs_ok = all(check_combined_plonk_equations(common, proof_with_pis, challenges))
-        fri_ok = check_fri_proof(common, vkey, proof_with_pis.proof, challenges)
-        return eqs_ok and fri_ok
-    except (ValueError, AssertionError, ZeroDivisionError, IndexError):
-        # Malformed proofs reject cleanly (the reference aborts; we return False
-        # so fault-injection suites can assert rejection).
-        return False
+    """Cryptographic verdict for a structurally well-formed proof.
+
+    Invalid-but-well-formed proofs return False through the Bool pipeline
+    (Plonk/Verifier.hs:47,62-65). *Structurally* malformed inputs (wrong
+    lengths, unknown gates, ...) raise — exactly like the reference's
+    `error` aborts (Plonk/FRI.hs:399-401) — so an oracle crash can never
+    masquerade as a clean rejection in fault-injection suites. Callers
+    wanting a total function over untrusted bytes should validate shape
+    first (compiler.flatten.flatten_proofs does this for the device path).
+    """
+    challenges = proof_challenges(common, vkey, proof_with_pis)
+    eqs_ok = all(check_combined_plonk_equations(common, proof_with_pis, challenges))
+    fri_ok = check_fri_proof(common, vkey, proof_with_pis.proof, challenges)
+    return eqs_ok and fri_ok

@@ -43,6 +43,14 @@ def get_fixture_proof(
         from .poseidon_chain import poseidon_chain_fixture
 
         fx = poseidon_chain_fixture(**params)
+    elif name == "gate_zoo":
+        from .gate_zoo import gate_zoo_fixture
+
+        fx = gate_zoo_fixture(**params)
+    elif name in ("lookup", "multi_lookup"):
+        from .lookup import lookup_fixture, multi_lookup_fixture
+
+        fx = (lookup_fixture if name == "lookup" else multi_lookup_fixture)(**params)
     else:
         raise ValueError(f"unknown fixture model {name!r}")
 

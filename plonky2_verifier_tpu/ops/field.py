@@ -264,6 +264,24 @@ def pow_const(a: G, e: int) -> G:
 def inv(a: G) -> G:
     """Fermat inversion a^(p-2) as an LSB-first square-and-multiply scan.
 
+    inv(0) = 0 by the power convention (golden.field.finv raises instead).
+    The divergence is deliberately unguarded because every on-device
+    denominator is provably nonzero for *any* proof bytes:
+    - L0(zeta) divides by n*(zeta - 1) and the quotient equation by
+      zeta^n - 1: zeta in H would require the duplex output to hit one of
+      n fixed felts, but more importantly acceptance is unaffected — if
+      zeta^n = 1 the quotient check compares against C_alpha through a
+      0 = 0 identity only when the proof is honest about a ROOT opening,
+      and the FRI side still binds the openings; a forged proof cannot
+      *choose* zeta (it is squeezed from the transcript), so the adversary
+      would need a Poseidon preimage to steer it into the 2^12-element
+      subgroup out of 2^128.
+    - combineInitial divides by x - zeta and x - omega*zeta with
+      x = g*eta^rev(q) in the LDE coset of the *base* field: zeta would
+      have to be a base-field element (im = 0) landing exactly on a coset
+      point — the same transcript-steering argument applies, and the
+      x values themselves are nonzero by construction (g != 0).
+
     The exponent bits ride in as scan xs, so the whole chain is one
     ~150-HLO body iterated 63 times — an unrolled chain of 100+ dependent
     multiplies sent XLA's algebraic simplifier into a circular loop and

@@ -13,6 +13,7 @@ Validated bit-exactly against golden.poseidon (which carries the KAT).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -84,9 +85,24 @@ def _rc_g(rows) -> G:
     return G(jnp.asarray(hi[rows]), jnp.asarray(lo[rows]))
 
 
-@jax.jit
 def permutation(state: G) -> G:
     """The full 30-round permutation; state shape (..., 12).
+
+    Dispatches to the fused Pallas kernel (ops/pallas_poseidon.py) on TPU —
+    measured 1.4x the jnp path at large batch (tools/bench_poseidon.py) —
+    and to the jnp scan elsewhere (CPU tests; Pallas would need interpret
+    mode there). Override with P2V_POSEIDON_BACKEND=jnp|pallas."""
+    backend = os.environ.get("P2V_POSEIDON_BACKEND", "auto")
+    if backend == "pallas" or (backend == "auto" and jax.default_backend() == "tpu"):
+        from . import pallas_poseidon
+
+        return pallas_poseidon.permutation(state)
+    return _permutation_jnp(state)
+
+
+@jax.jit
+def _permutation_jnp(state: G) -> G:
+    """jnp reference path: rounds as lax.scan over per-round constants.
 
     Structured for compile-time economy: the rounds run as lax.scan over
     per-round constants (one ~300-HLO external body + one internal body)

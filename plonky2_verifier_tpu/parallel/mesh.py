@@ -34,7 +34,8 @@ def make_mesh(devices: Optional[Sequence] = None, dp: Optional[int] = None, qp: 
     n = len(devices)
     if dp is None:
         dp = n // qp
-    assert dp * qp == n, f"mesh {dp}x{qp} != {n} devices"
+    if dp * qp != n:  # a real error, not an assert: survives python -O
+        raise ValueError(f"mesh {dp}x{qp} does not cover {n} devices")
     arr = np.array(devices).reshape(dp, qp)
     return Mesh(arr, ("dp", "qp"))
 
@@ -54,7 +55,7 @@ class ShardedVerifier:
             return {"ok": ok, "n_valid": jnp.sum(ok.astype(jnp.int32))}
 
         self._step = step
-        self._compiled = None
+        self._compiled: Dict[tuple, object] = {}
 
     def _spec_for(self, name: str) -> PS:
         if self.shard_queries and any(name.startswith(p) for p in _QUERY_AXIS_ARRAYS):
@@ -73,15 +74,18 @@ class ShardedVerifier:
         return out
 
     def __call__(self, sharded_arrays):
-        if self._compiled is None:
-            # in_shardings maps over the *positional-argument tuple*, so the
-            # per-array sharding pytree must be wrapped in a singleton tuple.
-            in_shardings = (jax.tree.map(lambda x: x.sharding, sharded_arrays),)
+        # the compiled executable is keyed by the actual input sharding layout
+        # so a later call with differently-sharded arrays compiles its own
+        # specialization instead of silently resharding to the first layout
+        in_shardings = (jax.tree.map(lambda x: x.sharding, sharded_arrays),)
+        leaves = jax.tree.util.tree_leaves(in_shardings)
+        key = tuple(str(s) for s in leaves)
+        if key not in self._compiled:
             out_shardings = {
                 "ok": NamedSharding(self.mesh, PS("dp")),
                 "n_valid": NamedSharding(self.mesh, PS()),  # replicated => psum
             }
-            self._compiled = jax.jit(
+            self._compiled[key] = jax.jit(
                 self._step, in_shardings=in_shardings, out_shardings=out_shardings
             )
-        return self._compiled(sharded_arrays)
+        return self._compiled[key](sharded_arrays)

@@ -553,19 +553,24 @@ class JaxVerifier:
 
         def loo(terms: GExt, deg: int):
             """(full product, leave-one-out products) over the last axis via
-            prefix/suffix products: prod (B,r,C), loo (B,r,C,deg)."""
-            one_t = jf.ext_constant(1, shape=terms.shape[:-1] + (1,))
-            pre = [one_t[..., 0]]
-            for i in range(deg - 1):
-                pre.append(jf.emul(pre[-1], terms[..., i]))
-            suf = [one_t[..., 0]]
-            for i in range(deg - 1, 0, -1):
-                suf.append(jf.emul(suf[-1], terms[..., i]))
-            suf = suf[::-1]
-            pre_s = jf.ext_stack(pre, axis=-1)
-            suf_s = jf.ext_stack(suf, axis=-1)
-            full = jf.emul(pre_s[..., -1], terms[..., -1])
-            return full, jf.emul(pre_s, suf_s)
+            exclusive prefix/suffix product scans: prod (B,r,C), loo
+            (B,r,C,deg). Scans (not unrolled multiply chains): XLA:CPU's
+            loop fusion inlines an unrolled chain once per consumer of the
+            stacked result, and LLVM then faces exponentially duplicated
+            expression trees (>9 min codegen on the gate-zoo template); a
+            scan materializes each step once."""
+            xs = _move_axis_to_front(terms, -1)  # (deg, B, r, C)
+            one = jf.ext_constant(1, shape=terms.shape[:-1])
+
+            def step(acc, t):
+                return jf.emul(acc, t), acc  # ys are EXCLUSIVE products
+
+            full, pre = jax.lax.scan(step, one, xs)  # pre[i] = prod_{j<i}
+            xs_rev = jax.tree.map(lambda x: jnp.flip(x, 0), xs)
+            _, suf_r = jax.lax.scan(step, one, xs_rev)
+            suf = jax.tree.map(lambda x: jnp.flip(x, 0), suf_r)  # prod_{j>i}
+            loo_v = jf.emul(pre, suf)  # (deg, B, r, C)
+            return full, jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1), loo_v)
 
         lu_prod, lu_loo = loo(lu_terms, lu_deg)
         lut_prod, lut_loo = loo(lut_terms, lut_deg)
@@ -664,18 +669,28 @@ class JaxVerifier:
         y1 = horner_ext(o2, fri_alpha)
 
         # initial tree checks ------------------------------------------------
+        # the 4 oracle paths share length and digest width, so they walk as
+        # ONE batched scan on a stacked (B, 4, Q, ...) axis (4x fewer scan
+        # bodies in the module => faster XLA compiles); only the leaf sponges
+        # stay separate (row widths differ per oracle).
         caps = [a["cap_cs"], a["cap_w"], a["cap_zp"], a["cap_q"]]
-        merkle_ok = jnp.ones((B, Q), dtype=bool)
-        for o in range(4):
-            leaves = a[f"leaves_{o}"]  # (B, Q, w)
-            digest = sponge_rows(leaves, tpl.oracle_widths[o])
-            cap = caps[o]  # (B, cap, 4)
-            cap_b = G(
-                jnp.broadcast_to(cap.hi[:, None], (B, Q) + cap.hi.shape[1:]),
-                jnp.broadcast_to(cap.lo[:, None], (B, Q) + cap.lo.shape[1:]),
-            )
-            ok_o = self._merkle_batched(digest, qidx, a[f"sibs_{o}"], cap_b, tpl.initial_path_len)
-            merkle_ok = jnp.logical_and(merkle_ok, ok_o)
+        digests = jf.stack(
+            [sponge_rows(a[f"leaves_{o}"], tpl.oracle_widths[o]) for o in range(4)], axis=1
+        )  # (B, 4, Q, 4)
+        sibs = jf.stack([a[f"sibs_{o}"] for o in range(4)], axis=1)  # (B, 4, Q, L, 4)
+        cap_b = jf.stack(
+            [
+                G(
+                    jnp.broadcast_to(c.hi[:, None], (B, Q) + c.hi.shape[1:]),
+                    jnp.broadcast_to(c.lo[:, None], (B, Q) + c.lo.shape[1:]),
+                )
+                for c in caps
+            ],
+            axis=1,
+        )  # (B, 4, Q, cap, 4)
+        idx4 = jnp.broadcast_to(qidx[:, None], (B, 4, Q))
+        ok4 = self._merkle_batched(digests, idx4, sibs, cap_b, tpl.initial_path_len)
+        merkle_ok = ok4.all(axis=1)  # (B, Q)
 
         # combineInitial ------------------------------------------------------
         npp = -(-tpl.n_sigmas // common.quotient_degree_factor)

@@ -7,6 +7,10 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# NOTE: the gate-zoo lookup-argument module hits a pathological XLA:CPU
+# compile (LLVM codegen >9 min / ~80 GB RSS; fine on TPU). Its device-path
+# tests therefore run in a subprocess with scoped workaround flags — see
+# tests/zoo_device_check.py — instead of polluting this process's XLA_FLAGS.
 
 import jax  # noqa: E402
 

@@ -1,0 +1,62 @@
+"""Pallas Poseidon kernel: bit-exact vs the golden model and the jnp path.
+
+On the CPU test backend the kernel runs through the Pallas interpreter
+(`interpret=True`); the compiled Mosaic path plus the A/B throughput numbers
+run on real TPU via tools/bench_poseidon.py (see docs/performance.md)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from plonky2_verifier_tpu.golden import field as gf
+from plonky2_verifier_tpu.golden import poseidon as gp
+from plonky2_verifier_tpu.ops import field as jf
+
+pp = pytest.importorskip("plonky2_verifier_tpu.ops.pallas_poseidon")
+
+
+def test_kat_interpret():
+    st = jf.from_u64(np.arange(12, dtype=np.uint64).reshape(1, 12))
+    out = pp.permutation(st, block=128, interpret=True)
+    assert jf.to_u64(out)[0].tolist() == list(gp.KAT_OUTPUT)
+
+
+def test_batch_vs_golden_and_jnp_interpret():
+    from plonky2_verifier_tpu.ops.poseidon import _permutation_jnp
+
+    rng = random.Random(99)
+    arr = np.array(
+        [[rng.randrange(gf.P) for _ in range(12)] for _ in range(37)], dtype=np.uint64
+    )
+    arr[0, :4] = [0, 1, gf.P - 1, gf.P - 2]  # edge band
+    state = jf.from_u64(arr)
+    got = jf.to_u64(pp.permutation(state, block=128, interpret=True))
+    jnp_out = jf.to_u64(_permutation_jnp(state))
+    assert (got == jnp_out).all()
+    for i in (0, 13, 36):
+        assert got[i].tolist() == gp.permutation(arr[i].tolist())
+
+
+def test_multi_block_grid_and_padding():
+    # n deliberately not a multiple of block, and >1 grid step
+    rng = random.Random(7)
+    arr = np.array(
+        [[rng.randrange(gf.P) for _ in range(12)] for _ in range(300)], dtype=np.uint64
+    )
+    state = jf.from_u64(arr)
+    got = jf.to_u64(pp.permutation(state, block=128, interpret=True))
+    for i in (0, 127, 128, 299):
+        assert got[i].tolist() == gp.permutation(arr[i].tolist())
+
+
+def test_dispatcher_uses_jnp_on_cpu(monkeypatch):
+    import jax
+
+    from plonky2_verifier_tpu.ops import poseidon as jp
+
+    assert jax.default_backend() == "cpu"  # conftest forces it
+    # auto mode on CPU must route to the jnp path (no interpreter surprise)
+    st = jf.from_u64(np.arange(12, dtype=np.uint64).reshape(1, 12))
+    out = jp.permutation(st)
+    assert jf.to_u64(out)[0].tolist() == list(gp.KAT_OUTPUT)

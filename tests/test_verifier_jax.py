@@ -61,6 +61,38 @@ def test_fibonacci_jax_verifies(fib_batch):
     assert tuple(int(x) for x in _u64pair(dbg["pi_hash"])[0]) == sponge(pwp.public_inputs)
 
 
+def test_heterogeneous_batch_transcripts_bit_exact():
+    """Every lane of a distinct-proof batch carries its own transcript; the
+    device intermediates must match each proof's golden challenges
+    per-lane (not just lane 0 of a homogeneous batch)."""
+    fx0 = fibonacci_fixture(num_query_rounds=6)  # shares the template below
+    tpl = CircuitTemplate(fx0.common)
+    lanes = []
+    for x0, x1 in [(1, 2), (3, 5), (10, 11), (7, 1)]:
+        fx = fibonacci_fixture(num_query_rounds=6, x0=x0, x1=x1)
+        assert fx.common.to_json() == fx0.common.to_json(), "shape must be shared"
+        lanes.append(prove(fx))
+    arrays = flatten_proofs(tpl, lanes)
+    v = JaxVerifier(tpl, debug=True)
+    out = v(v.prepare(arrays))
+    assert np.asarray(out["ok"]).all()
+    dbg = out["debug"]
+    zre = _u64pair(dbg["zeta"][:2])
+    zim = _u64pair(dbg["zeta"][2:])
+    qidx = np.asarray(dbg["query_indices"])
+    for lane, (vkey, pwp) in enumerate(lanes):
+        ch = proof_challenges(fx0.common, vkey, pwp)
+        assert (int(zre[lane]), int(zim[lane])) == ch.zeta, f"lane {lane} zeta"
+        for i, b in enumerate(ch.betas):
+            assert int(_u64pair(dbg["betas"][i])[lane]) == b
+        for i, al in enumerate(ch.alphas):
+            assert int(_u64pair(dbg["alphas"][i])[lane]) == al
+        assert int(_u64pair(dbg["pow_response"])[lane]) == ch.fri.pow_response
+        assert [int(x) for x in qidx[lane]] == ch.fri.query_indices
+    # distinct proofs really have distinct transcripts
+    assert len({int(z) for z in zre}) == len(lanes)
+
+
 def test_poseidon_chain_jax_verifies(pos_batch):
     fx, proofs = pos_batch
     tpl = CircuitTemplate(fx.common)
