@@ -78,7 +78,7 @@ class ShardedVerifier:
         # so a later call with differently-sharded arrays compiles its own
         # specialization instead of silently resharding to the first layout
         in_shardings = (jax.tree.map(lambda x: x.sharding, sharded_arrays),)
-        leaves = jax.tree.util.tree_leaves(in_shardings)
+        leaves = jax.tree_util.tree_leaves(in_shardings)
         key = tuple(str(s) for s in leaves)
         if key not in self._compiled:
             out_shardings = {

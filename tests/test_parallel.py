@@ -97,5 +97,5 @@ def test_lane_scramble(hetero_batch):
 def test_mesh_shapes():
     assert make_mesh(jax.devices()[:8], dp=8, qp=1).shape == {"dp": 8, "qp": 1}
     assert make_mesh(jax.devices()[:8], dp=2, qp=4).shape == {"dp": 2, "qp": 4}
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         make_mesh(jax.devices()[:8], dp=3, qp=2)
