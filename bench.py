@@ -38,21 +38,6 @@ BASELINE_PER_CHIP = 1250.0
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 
 
-def perm_count(tpl) -> int:
-    """Analytic Poseidon-permutation count per proof (mirrors the
-    commentary/FRI.md:250-267 cost model for our shapes)."""
-    n = len(tpl.schedule.permutes)  # challenge transcript
-    n += -(-tpl.n_pi // 8) if tpl.n_pi else 0  # public-input sponge
-    per_round = 0
-    for w in tpl.oracle_widths:
-        per_round += -(-w // 8)  # leaf sponges
-    per_round += 4 * tpl.initial_path_len  # initial Merkle paths
-    for st in tpl.steps:
-        per_round += -(-(2 << st["arity_bits"]) // 8)  # coset leaf sponge
-        per_round += st["path_len"]
-    return n + tpl.num_queries * per_round
-
-
 def fixture_params():
     if MODEL == "fibonacci":
         # n rows = 1 const + n_arith + 1 public-input, padded to 2^degree_bits
@@ -100,8 +85,10 @@ def main():
     jax.block_until_ready(out["ok"])
     dt = (time.time() - t0) / ITERS
 
+    from plonky2_verifier_tpu.metrics import perms_per_proof
+
     proofs_per_sec = BATCH / dt
-    perms = perm_count(tpl)
+    perms = perms_per_proof(tpl)
     result = {
         "metric": "proofs_per_sec_per_chip",
         "value": round(proofs_per_sec, 2),

@@ -9,3 +9,4 @@ SURVEY.md section 2.8 prescribes.
 """
 
 from .mesh import ShardedVerifier, make_mesh  # noqa: F401
+from .stream import BucketedStreamVerifier, StreamVerifier, template_key  # noqa: F401

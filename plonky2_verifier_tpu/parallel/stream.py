@@ -3,16 +3,22 @@ step, with rolling metrics and multi-host hooks (BASELINE config 5 minus
 real multi-host hardware).
 
 Design: proofs arrive as (vkey, proof) pairs of ONE circuit shape per
-stream (mixed workloads bucket by template upstream — shape is data,
-SURVEY section 5 'config'); the driver packs fixed-size batches, pads the
-final partial batch by repeating its last proof (padding lanes are masked
-out of the verdict), and overlaps host-side flattening of batch k+1 with
-device verification of batch k (dispatch is async; we only block on the
-previous batch's verdict when the next one is already enqueued).
+StreamVerifier; the driver packs fixed-size batches, pads the final partial
+batch by repeating its last proof (padding lanes are masked out of the
+verdict), and overlaps host-side flattening of batch k+1 with device
+verification of batch k (dispatch is async; we only block on the previous
+batch's verdict when the next one is already enqueued).
+
+Mixed-shape workloads (BASELINE config 3) go through BucketedStreamVerifier:
+items carry their CommonCircuitData, are grouped by canonical shape hash
+(shape is data — SURVEY section 5 'config'), and each bucket owns its own
+compiled StreamVerifier; batches dispatch interleaved as buckets fill.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 from typing import Callable, Iterable, Iterator, Optional, Tuple
 
@@ -21,6 +27,15 @@ import numpy as np
 from ..compiler.flatten import flatten_proofs
 from ..compiler.template import CircuitTemplate
 from ..metrics import StreamMetrics, perms_per_proof
+from ..types import CommonCircuitData
+
+
+def template_key(common: CommonCircuitData) -> str:
+    """Canonical shape hash of a circuit: two proofs verify through the same
+    compiled template iff their commons serialize identically (the template
+    is a pure function of CommonCircuitData)."""
+    blob = json.dumps(common.to_json(), sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
 
 
 def init_distributed() -> bool:
@@ -58,6 +73,7 @@ class StreamVerifier:
         self.metrics = StreamMetrics(
             perms_per_proof=perms_per_proof(tpl), queries_per_proof=tpl.num_queries
         )
+        self._pending = None  # (out, live) dispatched but not folded yet
 
     def _batches(self, proofs: Iterable[Tuple]) -> Iterator[Tuple[list, int]]:
         buf: list = []
@@ -71,6 +87,21 @@ class StreamVerifier:
             buf = buf + [buf[-1]] * (self.batch - live)  # pad: masked below
             yield buf, live
 
+    def submit(self, group: list, live: int, on_batch=None) -> None:
+        """Dispatch one full-size batch (async); folds the previous batch's
+        verdict once this one is enqueued (the pipelining overlap)."""
+        dev = self._prepare(flatten_proofs(self.tpl, group))
+        out = self._v(dev)  # async dispatch
+        if self._pending is not None:
+            self._fold(self._pending, on_batch)
+        self._pending = (out, live)
+
+    def flush(self, on_batch=None) -> None:
+        """Block on the last in-flight batch and fold its verdict."""
+        if self._pending is not None:
+            self._fold(self._pending, on_batch)
+            self._pending = None
+
     def run(
         self,
         proofs: Iterable[Tuple],
@@ -78,17 +109,9 @@ class StreamVerifier:
     ) -> StreamMetrics:
         """Verify a stream; returns the final metrics. `on_batch(metrics)`
         fires after each batch's verdict lands (for progress lines)."""
-        import jax
-
-        pending = None  # (out, live) not yet folded into metrics
         for group, live in self._batches(proofs):
-            dev = self._prepare(flatten_proofs(self.tpl, group))
-            out = self._v(dev)  # async dispatch
-            if pending is not None:
-                self._fold(pending, on_batch)
-            pending = (out, live)
-        if pending is not None:
-            self._fold(pending, on_batch)
+            self.submit(group, live, on_batch)
+        self.flush(on_batch)
         return self.metrics
 
     def _fold(self, pending, on_batch) -> None:
@@ -99,3 +122,53 @@ class StreamVerifier:
         self.metrics.record_batch(live, int(ok.sum()))
         if on_batch is not None:
             on_batch(self.metrics)
+
+
+class BucketedStreamVerifier:
+    """Mixed-shape streaming (BASELINE config 3): items are
+    (common, vkey, proof) triples; they bucket by `template_key(common)` and
+    each bucket runs its own per-template StreamVerifier. Templates compile
+    lazily on first sight of a shape, batches dispatch interleaved as
+    buckets fill, and partial buckets pad+flush at end-of-stream exactly
+    like the single-shape driver."""
+
+    def __init__(self, batch: int, mesh=None, shard_queries: bool = True):
+        self.batch = batch
+        self.mesh = mesh
+        self.shard_queries = shard_queries
+        self._buckets: dict = {}  # key -> (StreamVerifier, buffer list)
+
+    def _bucket(self, common: CommonCircuitData):
+        key = template_key(common)
+        if key not in self._buckets:
+            sv = StreamVerifier(
+                CircuitTemplate(common),
+                self.batch,
+                mesh=self.mesh,
+                shard_queries=self.shard_queries,
+            )
+            self._buckets[key] = (sv, [])
+        return key, self._buckets[key]
+
+    def run(
+        self,
+        items: Iterable[Tuple],
+        on_batch: Optional[Callable[[str, StreamMetrics], None]] = None,
+    ) -> dict:
+        """Verify a mixed stream; returns {shape_key: StreamMetrics}.
+        `on_batch(shape_key, metrics)` fires per folded batch."""
+        for common, vkey, proof in items:
+            key, (sv, buf) = self._bucket(common)
+            buf.append((vkey, proof))
+            if len(buf) == self.batch:
+                cb = (lambda m, k=key: on_batch(k, m)) if on_batch else None
+                sv.submit(list(buf), self.batch, cb)
+                buf.clear()
+        for key, (sv, buf) in self._buckets.items():
+            cb = (lambda m, k=key: on_batch(k, m)) if on_batch else None
+            if buf:
+                live = len(buf)
+                sv.submit(buf + [buf[-1]] * (self.batch - live), live, cb)
+                buf.clear()
+            sv.flush(cb)
+        return {k: sv.metrics for k, (sv, _) in self._buckets.items()}

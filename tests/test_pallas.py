@@ -23,30 +23,34 @@ def test_kat_interpret():
 
 
 def test_batch_vs_golden_and_jnp_interpret():
+    # Interpret-mode Pallas pays per-row interpreter overhead; keep the case
+    # tiny (the compiled Mosaic path is validated on TPU by
+    # tools/bench_poseidon.py and bench.py). 8 rows incl. the edge band.
     from plonky2_verifier_tpu.ops.poseidon import _permutation_jnp
 
     rng = random.Random(99)
     arr = np.array(
-        [[rng.randrange(gf.P) for _ in range(12)] for _ in range(37)], dtype=np.uint64
+        [[rng.randrange(gf.P) for _ in range(12)] for _ in range(8)], dtype=np.uint64
     )
     arr[0, :4] = [0, 1, gf.P - 1, gf.P - 2]  # edge band
     state = jf.from_u64(arr)
-    got = jf.to_u64(pp.permutation(state, block=128, interpret=True))
+    got = jf.to_u64(pp.permutation(state, block=8, interpret=True))
     jnp_out = jf.to_u64(_permutation_jnp(state))
     assert (got == jnp_out).all()
-    for i in (0, 13, 36):
+    for i in (0, 7):
         assert got[i].tolist() == gp.permutation(arr[i].tolist())
 
 
 def test_multi_block_grid_and_padding():
-    # n deliberately not a multiple of block, and >1 grid step
+    # n deliberately not a multiple of block, and >1 grid step — but tiny:
+    # block=4, n=10 gives 3 grid steps with a padded tail.
     rng = random.Random(7)
     arr = np.array(
-        [[rng.randrange(gf.P) for _ in range(12)] for _ in range(300)], dtype=np.uint64
+        [[rng.randrange(gf.P) for _ in range(12)] for _ in range(10)], dtype=np.uint64
     )
     state = jf.from_u64(arr)
-    got = jf.to_u64(pp.permutation(state, block=128, interpret=True))
-    for i in (0, 127, 128, 299):
+    got = jf.to_u64(pp.permutation(state, block=4, interpret=True))
+    for i in (0, 3, 4, 9):
         assert got[i].tolist() == gp.permutation(arr[i].tolist())
 
 
