@@ -46,7 +46,14 @@ def gate_zoo_fixture(
     seed: int = 7,
     arity_bits: int = 4,
     final_poly_bits: int = 5,
+    target_degree_bits: int = 0,
 ) -> Fixture:
+    """One circuit exercising every gate kind; `target_degree_bits > 0`
+    additionally fills the circuit with a rotating mix of real gate rows
+    (Arithmetic/MulExt/ArithExt/BaseSum/PoseidonMds/Poseidon/ReducingExt)
+    up to ~2^target rows — the gate-heavy / recursion-shaped bench configs
+    (BASELINE configs 3-4; the reference's analog is the Poseidon-dominated
+    recursion fixtures, testmain.hs:28-29)."""
     rng = random.Random(seed)
     b = CircuitBuilder(
         seed=seed,
@@ -175,6 +182,51 @@ def gate_zoo_fixture(
 
     # PublicInputGate + optional lookup use
     b.add_row(Gate("PublicInputGate"))
+
+    if target_degree_bits:
+        def _fill_row(i: int) -> None:
+            fam = i % 7
+            if fam == 0:
+                pf = {}
+                for op in range(20):
+                    pf[4 * op], pf[4 * op + 1], pf[4 * op + 2] = rnd(), rnd(), rnd()
+                b.add_row(Gate("ArithmeticGate", (20,)), constants=(3, 4), prefill=pf)
+            elif fam == 1:
+                pf = {}
+                for op in range(13):
+                    for k2 in range(4):
+                        pf[6 * op + k2] = rnd()
+                b.add_row(Gate("MulExtensionGate", (13,)), constants=(rnd(), 0), prefill=pf)
+            elif fam == 2:
+                pf = {}
+                for op in range(10):
+                    for k2 in range(6):
+                        pf[8 * op + k2] = rnd()
+                b.add_row(
+                    Gate("ArithmeticExtensionGate", (10,)), constants=(rnd(), rnd()), prefill=pf
+                )
+            elif fam == 3:
+                v = rng.randrange(1 << 63)
+                b.add_row(Gate("BaseSumGate", (63, 2)), prefill={1 + j: (v >> j) & 1 for j in range(63)})
+            elif fam == 4:
+                b.add_row(Gate("PoseidonMdsGate", (12,)), prefill={j: rnd() for j in range(24)})
+            elif fam == 5:
+                pf = {j: rnd() for j in range(12)}
+                pf[24] = 0
+                b.add_row(Gate("PoseidonGate", (12,)), prefill=pf)
+            else:
+                pf = {k2: rnd() for k2 in range(2, 6)}
+                for j in range(30):
+                    pf[6 + 2 * j], pf[6 + 2 * j + 1] = rnd(), rnd()
+                b.add_row(Gate("ReducingExtensionGate", (30,)), prefill=pf)
+
+        i = 0
+        # leave headroom for the lookup block (<= 8 rows) so padding lands
+        # exactly at 2^target_degree_bits
+        while len(b._rows) < (1 << target_degree_bits) - 8:
+            _fill_row(i)
+            i += 1
+
     if with_lookup:
         table = [(i, (i * i + 3) % gf.P) for i in range(16)]
         lut = b.add_lookup_table(table)

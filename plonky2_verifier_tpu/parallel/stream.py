@@ -50,7 +50,14 @@ def init_distributed() -> bool:
         return False
     import jax
 
-    jax.distributed.initialize()  # reads the JAX_* env vars
+    # jax 0.9 auto-reads only JAX_COORDINATOR_ADDRESS; on plain hosts (no
+    # SLURM/GKE cluster detection) num_processes/process_id must be explicit
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        num_processes=int(num) if num else None,
+        process_id=int(pid) if pid else None,
+    )
     return True
 
 

@@ -8,9 +8,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 # NOTE: the gate-zoo lookup-argument module hits a pathological XLA:CPU
-# compile (LLVM codegen >9 min / ~80 GB RSS; fine on TPU). Its device-path
-# tests therefore run in a subprocess with scoped workaround flags — see
-# tests/zoo_device_check.py — instead of polluting this process's XLA_FLAGS.
+# compile (LLVM codegen >10 min; fine on TPU). Its device-path checks run
+# via the zoo_device_check.py subprocess, spawned by
+# test_gate_zoo.py::test_zoo_device_subprocess only when P2V_ZOO_DEVICE=1;
+# the standing evidence is ZOO_DEVICE_r04.json (same script on real TPU).
 
 import jax  # noqa: E402
 

@@ -4,11 +4,13 @@ EVERY flattened proof array (the device analog of the golden mutation suite).
 
 This is the analog of the reference's recursion fixtures
 (testmain.hs:28-29): CosetInterpolation, RandomAccess, Reducing(Ext),
-PoseidonMds & co. appear in a real accepted proof, and the device lookup
-path (verifier_jax.py _lookup_checks) runs under pytest for the first time.
+PoseidonMds & co. appear in a real accepted proof. The device-path checks
+(incl. the lookup path, verifier_jax.py _lookup_checks) run via the
+zoo_device_check.py subprocess — opt-in on CPU, see the note below.
 """
 
-import numpy as np
+import os
+
 import pytest
 
 from plonky2_verifier_tpu.gate_parser import Gate, gate_to_string, parse_gate
@@ -96,75 +98,37 @@ def test_golden_rejects_per_gate_wire_mutation(zoo):
 
 # ---------------------------------------------------------------------------
 # device path
+#
+# The zoo's device-path checks (JaxVerifier accept incl. the lookup-argument
+# path, zeta/query-index transcript bit-exactness, and the fault-injection
+# sweep over EVERY flattened proof array) live in tests/zoo_device_check.py,
+# which this test spawns as a subprocess. On XLA:CPU the zoo template's
+# lookup module triggers pathological LLVM codegen (>10 min on a 2-core
+# host even at --xla_backend_optimization_level=0 — docs/performance.md),
+# so the subprocess run is opt-in via P2V_ZOO_DEVICE=1; the standing
+# evidence is the committed TPU artifact ZOO_DEVICE_r04.json, produced by
+# the same script with P2V_ZOO_BACKEND=tpu on the real chip.
 
 
-@pytest.fixture(scope="module")
-def zoo_device(zoo):
-    from plonky2_verifier_tpu.compiler import CircuitTemplate, flatten_proofs
-    from plonky2_verifier_tpu.verifier_jax import JaxVerifier
+@pytest.mark.skipif(
+    not os.environ.get("P2V_ZOO_DEVICE"),
+    reason="zoo device compile is pathological on XLA:CPU (>10 min); "
+    "set P2V_ZOO_DEVICE=1 to run, or see ZOO_DEVICE_r04.json (TPU run)",
+)
+def test_zoo_device_subprocess():
+    import json
+    import subprocess
+    import sys
 
-    fx, vkey, pwp = zoo
-    tpl = CircuitTemplate(fx.common)
-    arrays = flatten_proofs(tpl, [(vkey, pwp)] * 2)
-    v = JaxVerifier(tpl)
-    return tpl, v, arrays
-
-
-def test_jax_accepts_and_runs_lookup_path(zoo, zoo_device):
-    fx, _, _ = zoo
-    tpl, v, arrays = zoo_device
-    assert fx.common.num_lookup_polys > 0, "zoo must exercise the lookup path"
-    out = v(v.prepare(arrays))
-    ok = np.asarray(out["ok"])
-    assert ok.shape == (2,) and ok.all()
-
-
-def test_jax_transcript_matches_golden(zoo, zoo_device):
-    from plonky2_verifier_tpu.compiler import CircuitTemplate
-    from plonky2_verifier_tpu.golden.challenges import proof_challenges
-    from plonky2_verifier_tpu.verifier_jax import JaxVerifier
-
-    fx, vkey, pwp = zoo
-    tpl, _, arrays = zoo_device
-    vdbg = JaxVerifier(tpl, debug=True)
-    out = vdbg(vdbg.prepare(arrays))
-    ch = proof_challenges(fx.common, vkey, pwp)
-    dz = out["debug"]["zeta"]
-    zeta_dev = (
-        (int(dz[0][0]) << 32) | int(dz[1][0]),
-        (int(dz[2][0]) << 32) | int(dz[3][0]),
+    script = os.path.join(os.path.dirname(__file__), "zoo_device_check.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True, timeout=3600, env=env
     )
-    assert zeta_dev == ch.zeta
-    qi = np.asarray(out["debug"]["query_indices"])[0]
-    assert list(qi) == list(ch.fri.query_indices)
-
-
-def _array_keys():
-    # every key flatten_proofs emits for a 1-fold-step zoo template; the
-    # parameterization is validated against the real dict inside the test.
-    base = [
-        "circuit_digest", "public_inputs", "cap_cs", "cap_w", "cap_zp", "cap_q",
-        "openings1", "openings2", "final_poly", "pow_witness",
-    ]
-    oracles = [f"{p}_{o}" for o in range(4) for p in ("leaves", "sibs")]
-    steps = [f"step_{p}_0" for p in ("cap", "evals", "sibs")]
-    return base + oracles + steps
-
-
-@pytest.mark.parametrize("key", _array_keys())
-def test_device_fault_injection_every_array(zoo_device, key):
-    """Mutating ANY flattened proof array in lane 0 must flip lane 0's
-    verdict and leave lane 1 accepted — full device-path parity with the
-    golden fault-injection suite (SURVEY section 5 'fault injection')."""
-    tpl, v, arrays = zoo_device
-    assert set(_array_keys()) == set(arrays.keys()), "parameterization out of date"
-    bad = {k: np.array(val, copy=True) for k, val in arrays.items()}
-    lane0 = bad[key][0]
-    lane0.reshape(-1)[0] ^= np.uint64(1)
-    out = v(v.prepare(bad))
-    ok = np.asarray(out["ok"])
-    assert not ok[0], f"lane 0 accepted despite corrupted {key}"
-    assert ok[1], f"lane 1 rejected by lane 0's corrupted {key}"
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert proc.returncode == 0 and lines, proc.stderr[-2000:]
+    results = json.loads(lines[-1])
+    assert results["pass"], results
 
 
 # ---------------------------------------------------------------------------

@@ -1,9 +1,13 @@
 """Subprocess body for the gate-zoo device-path checks (see test_gate_zoo.py).
 
-Runs in its own process so the XLA:CPU workaround flag
-(--xla_backend_optimization_level=0, needed only for the lookup-argument
-module's pathological LLVM codegen — docs/performance.md) stays scoped to
-this module and does not slow the rest of the suite's runtime.
+Backend is selected by P2V_ZOO_BACKEND:
+- "cpu" (default): forces XLA:CPU with the workaround flag
+  (--xla_backend_optimization_level=0 — the lookup-argument module's LLVM
+  codegen is pathological at higher levels, docs/performance.md) in its own
+  process so the flag does not leak into the rest of the suite. Even so,
+  this compile historically exceeds 10 minutes on 2-core hosts.
+- "tpu": uses the default accelerator — the production path. The round
+  artifact ZOO_DEVICE_r04.json is this script's output on the real chip.
 
 Prints one JSON line with all check results; exit code 0 iff all passed.
 """
@@ -11,19 +15,24 @@ Prints one JSON line with all check results; exit code 0 iff all passed.
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_backend_optimization_level" not in flags:
-    flags = (flags + " --xla_backend_optimization_level=0").strip()
-if "xla_force_host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=2").strip()
-os.environ["XLA_FLAGS"] = flags
+BACKEND = os.environ.get("P2V_ZOO_BACKEND", "cpu")
+
+if BACKEND == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_backend_optimization_level" not in flags:
+        flags = (flags + " --xla_backend_optimization_level=0").strip()
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=2").strip()
+    os.environ["XLA_FLAGS"] = flags
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if BACKEND == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
@@ -40,7 +49,8 @@ from plonky2_verifier_tpu.verifier_jax import JaxVerifier
 
 
 def main():
-    results = {}
+    t0 = time.time()
+    results = {"backend": BACKEND, "device": str(jax.devices()[0])}
     fx = gate_zoo_fixture(num_query_rounds=4, proof_of_work_bits=4)
     vkey, pwp = prove(fx)
     tpl = CircuitTemplate(fx.common)
@@ -80,6 +90,7 @@ def main():
         and results["query_indices_bit_exact"]
         and not bad_keys
     )
+    results["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(results))
     sys.exit(0 if results["pass"] else 1)
 
