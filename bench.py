@@ -46,6 +46,14 @@ def fixture_params():
             "num_query_rounds": QUERIES,
             "proof_of_work_bits": POW_BITS,
         }
+    if MODEL == "gate_zoo":
+        # gate-heavy / recursion-shaped config (BASELINE configs 3-4): every
+        # gate kind incl. lookups, filled with real gate rows to 2^DEGREE_BITS
+        return {
+            "target_degree_bits": DEGREE_BITS,
+            "num_query_rounds": QUERIES,
+            "proof_of_work_bits": POW_BITS,
+        }
     return {"num_query_rounds": QUERIES, "proof_of_work_bits": POW_BITS}
 
 

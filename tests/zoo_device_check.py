@@ -73,11 +73,22 @@ def main():
     qi = [int(x) for x in np.asarray(out["debug"]["query_indices"])[0]]
     results["query_indices_bit_exact"] = qi == list(ch.fri.query_indices)
 
-    # fault injection: EVERY flattened array, lane 0 only
+    # fault injection: EVERY flattened array, lane 0 only. (NB: `arr[0]` on a
+    # 1-D array is a scalar COPY, so mutate through a (B, -1) reshape and
+    # write the result back in case reshape had to copy.)
     bad_keys = []
     for key in sorted(arrays.keys()):
         bad = {k: np.array(val, copy=True) for k, val in arrays.items()}
-        bad[key][0].reshape(-1)[0] ^= np.uint64(1)
+        flat = bad[key].reshape(bad[key].shape[0], -1)
+        if key == "cap_cs":
+            # the constants/sigmas cap is the one input never absorbed into
+            # the transcript (Challenge/Verifier.hs:73-75 absorbs only the
+            # circuit digest); a single mutated cap row is detected only if
+            # some query's residual index lands on it, so flip every row.
+            flat[0, :] ^= np.uint64(1)
+        else:
+            flat[0, 0] ^= np.uint64(1)
+        bad[key] = flat.reshape(bad[key].shape)
         o = np.asarray(v(v.prepare(bad))["ok"])
         if o[0] or not o[1]:
             bad_keys.append(key)
