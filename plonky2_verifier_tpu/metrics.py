@@ -74,7 +74,9 @@ class StreamMetrics:
             "elapsed_s": round(dt, 3),
             "proofs_per_sec": round(pps, 2),
             "poseidon_perms_per_sec": round(pps * self.perms_per_proof, 1),
-            "fri_queries_per_sec": round(pps * self.queries_per_proof, 1),
+            # 3 decimals: tiny test streams have sub-1.0 rates, and 1-decimal
+            # rounding put the derived rate outside a 1% cross-check band
+            "fri_queries_per_sec": round(pps * self.queries_per_proof, 3),
         }
 
     def line(self) -> str:
