@@ -93,9 +93,10 @@ def _mds_rolled(state: G, diag) -> G:
     return jf._reduce128(jnp.zeros_like(r), r, n1, n0)
 
 
-def _poseidon_kernel(rc_hi_ref, rc_lo_ref, diag_ref, hi_ref, lo_ref, out_hi_ref, out_lo_ref):
-    s = G(hi_ref[:], lo_ref[:])
-    diag = diag_ref[:]  # (12, 1)
+def _rounds(s: G, rc_hi_ref, rc_lo_ref, diag) -> G:
+    """The 30-round permutation body on a lane-major (12, N) state; shared
+    by the plain-permutation, fused-sponge and fused-Merkle kernels
+    (ops/pallas_hash.py)."""
     for r in range(30):
         rc = G(rc_hi_ref[r], rc_lo_ref[r])  # (12, 1)
         s = jf.add(s, rc)
@@ -108,6 +109,11 @@ def _poseidon_kernel(rc_hi_ref, rc_lo_ref, diag_ref, hi_ref, lo_ref, out_hi_ref,
         else:  # external: sbox every lane
             s = _sbox7(s)
         s = _mds_rolled(s, diag)
+    return s
+
+
+def _poseidon_kernel(rc_hi_ref, rc_lo_ref, diag_ref, hi_ref, lo_ref, out_hi_ref, out_lo_ref):
+    s = _rounds(G(hi_ref[:], lo_ref[:]), rc_hi_ref, rc_lo_ref, diag_ref[:])
     out_hi_ref[:] = s.hi
     out_lo_ref[:] = s.lo
 

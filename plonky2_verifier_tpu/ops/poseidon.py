@@ -85,15 +85,21 @@ def _rc_g(rows) -> G:
     return G(jnp.asarray(hi[rows]), jnp.asarray(lo[rows]))
 
 
+def use_pallas() -> bool:
+    """One policy for every Pallas hash kernel (permutation, fused sponge,
+    fused Merkle walk): on by default on TPU, off elsewhere (CPU tests would
+    need interpret mode). Override with P2V_POSEIDON_BACKEND=jnp|pallas."""
+    backend = os.environ.get("P2V_POSEIDON_BACKEND", "auto")
+    return backend == "pallas" or (backend == "auto" and jax.default_backend() == "tpu")
+
+
 def permutation(state: G) -> G:
     """The full 30-round permutation; state shape (..., 12).
 
     Dispatches to the fused Pallas kernel (ops/pallas_poseidon.py) on TPU —
     measured 1.4x the jnp path at large batch (tools/bench_poseidon.py) —
-    and to the jnp scan elsewhere (CPU tests; Pallas would need interpret
-    mode there). Override with P2V_POSEIDON_BACKEND=jnp|pallas."""
-    backend = os.environ.get("P2V_POSEIDON_BACKEND", "auto")
-    if backend == "pallas" or (backend == "auto" and jax.default_backend() == "tpu"):
+    and to the jnp scan elsewhere."""
+    if use_pallas():
         from . import pallas_poseidon
 
         return pallas_poseidon.permutation(state)

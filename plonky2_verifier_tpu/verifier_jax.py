@@ -20,6 +20,7 @@ intermediates for transcript-divergence debugging.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, List
 
@@ -117,9 +118,20 @@ def ext_sum_axis(v: GExt, axis: int) -> GExt:
 
 
 def sponge_rows(rows: G, width: int) -> G:
-    """Rate-8 overwrite sponge over rows (..., width) via a chunk scan."""
+    """Rate-8 overwrite sponge over rows (..., width) via a chunk scan of
+    Poseidon permutations (each a Pallas kernel on TPU).
+
+    P2V_FUSED_HASH=1 swaps in the fully-fused chain kernel
+    (ops/pallas_hash.py; state stays in VMEM across permutations). Measured
+    A/B on v5e (BENCH_FUSED_r04.json): +1.4% proofs/s for ~5x the cold
+    compile (156s -> 765s) — the permutation is compute-bound, not
+    HBM-bound, so fusion is opt-in for long-running services only."""
     if width == 0:
         return jf.zeros(rows.shape[:-1] + (4,))
+    if jp.use_pallas() and os.environ.get("P2V_FUSED_HASH") == "1":
+        from .ops import pallas_hash
+
+        return pallas_hash.sponge_rows(rows, width)
     n_chunks = -(-width // 8)
     pad = n_chunks * 8 - width
     hi = jnp.pad(rows.hi, [(0, 0)] * (rows.hi.ndim - 1) + [(0, pad)])
@@ -867,9 +879,15 @@ class JaxVerifier:
 
     @staticmethod
     def _merkle_batched(digest: G, index, sibs: G, cap: G, path_len: int):
-        """digest (B,Q,4), index (B,Q), sibs (B,Q,L,4), cap (B,Q,cap,4)."""
+        """digest (B,Q,4), index (B,Q), sibs (B,Q,L,4), cap (B,Q,cap,4).
+        P2V_FUSED_HASH=1 runs the L-level walk as one fused Pallas kernel
+        (see sponge_rows for the measured trade-off)."""
         if path_len == 0:
             cur = digest
+        elif jp.use_pallas() and os.environ.get("P2V_FUSED_HASH") == "1":
+            from .ops import pallas_hash
+
+            cur = pallas_hash.merkle_fold(digest, index, sibs, path_len)
         else:
             sibs_f = _move_axis_to_front(sibs, -2)
             bits = jnp.stack([(index >> l) & 1 for l in range(path_len)])
