@@ -62,11 +62,27 @@ def init_distributed() -> bool:
 
 
 class StreamVerifier:
-    """Fixed-shape streaming loop around JaxVerifier / ShardedVerifier."""
+    """Fixed-shape streaming loop around JaxVerifier / ShardedVerifier.
 
-    def __init__(self, tpl: CircuitTemplate, batch: int, mesh=None, shard_queries: bool = True):
+    `raw_json=True` streams (vkey_json_bytes, proof_json_bytes) pairs
+    through the native C++ ingest (plonky2_verifier_tpu.native, GIL-free;
+    `ingest_workers` threads) instead of parsed dataclasses — the Python
+    json/dataclass path caps at ~150 proofs/s/core vs ~5,400/s/chip on
+    device (tools/bench_ingest.py)."""
+
+    def __init__(
+        self,
+        tpl: CircuitTemplate,
+        batch: int,
+        mesh=None,
+        shard_queries: bool = True,
+        raw_json: bool = False,
+        ingest_workers: int = 0,
+    ):
         self.tpl = tpl
         self.batch = batch
+        self.raw_json = raw_json
+        self.ingest_workers = ingest_workers or (os.cpu_count() or 1)
         if mesh is not None:
             from .mesh import ShardedVerifier
 
@@ -94,10 +110,17 @@ class StreamVerifier:
             buf = buf + [buf[-1]] * (self.batch - live)  # pad: masked below
             yield buf, live
 
+    def _flatten(self, group: list):
+        if self.raw_json:
+            from ..native import flatten_proof_jsons
+
+            return flatten_proof_jsons(self.tpl, group, workers=self.ingest_workers)
+        return flatten_proofs(self.tpl, group)
+
     def submit(self, group: list, live: int, on_batch=None) -> None:
         """Dispatch one full-size batch (async); folds the previous batch's
         verdict once this one is enqueued (the pipelining overlap)."""
-        dev = self._prepare(flatten_proofs(self.tpl, group))
+        dev = self._prepare(self._flatten(group))
         out = self._v(dev)  # async dispatch
         if self._pending is not None:
             self._fold(self._pending, on_batch)

@@ -1,0 +1,71 @@
+"""Native C++ proof ingest (plonky2_verifier_tpu.native): bit-exact vs the
+Python flattener, malformed-input rejection, thread-pool path, and the
+raw-JSON stream tier."""
+
+import json
+
+import numpy as np
+import pytest
+
+from plonky2_verifier_tpu.compiler import CircuitTemplate, flatten_proofs
+from plonky2_verifier_tpu.models.fibonacci import fibonacci_fixture
+from plonky2_verifier_tpu.native import flatten_proof_jsons, get_fastload
+from plonky2_verifier_tpu.prover.prove import prove
+
+if get_fastload() is None:  # pragma: no cover
+    pytest.skip("native toolchain unavailable", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def fib():
+    fx = fibonacci_fixture(num_query_rounds=6)
+    vkey, pwp = prove(fx)
+    tpl = CircuitTemplate(fx.common)
+    vk_b = json.dumps(vkey.to_json()).encode()
+    pf_b = json.dumps(pwp.to_json()).encode()
+    return fx, tpl, (vkey, pwp), (vk_b, pf_b)
+
+
+def test_native_matches_python_flatten(fib):
+    fx, tpl, objs, raw = fib
+    ref = flatten_proofs(tpl, [objs] * 3)
+    got = flatten_proof_jsons(tpl, [raw] * 3, workers=0)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k].dtype == np.uint64 and got[k].shape == ref[k].shape, k
+        assert (got[k] == ref[k]).all(), k
+
+
+def test_native_thread_pool_matches(fib):
+    fx, tpl, objs, raw = fib
+    ref = flatten_proofs(tpl, [objs] * 5)
+    got = flatten_proof_jsons(tpl, [raw] * 5, workers=4)
+    for k in ref:
+        assert (got[k] == ref[k]).all(), k
+
+
+def test_native_rejects_malformed(fib):
+    fx, tpl, objs, (vk_b, pf_b) = fib
+    with pytest.raises(ValueError):
+        flatten_proof_jsons(tpl, [(vk_b, pf_b[:-50])])  # truncated JSON
+    with pytest.raises(ValueError):
+        flatten_proof_jsons(tpl, [(pf_b, pf_b)])  # wrong document for vkey
+    # structurally valid JSON, wrong shape: drop one opening
+    obj = json.loads(pf_b)
+    obj["proof"]["openings"]["wires"] = obj["proof"]["openings"]["wires"][:-1]
+    with pytest.raises(ValueError, match="wire openings"):
+        flatten_proof_jsons(tpl, [(vk_b, json.dumps(obj).encode())])
+    # mutated value still parses (semantic rejection is the verifier's job)
+    obj = json.loads(pf_b)
+    obj["proof"]["opening_proof"]["pow_witness"] ^= 1
+    out = flatten_proof_jsons(tpl, [(vk_b, json.dumps(obj).encode())])
+    assert out["pow_witness"][0] != np.uint64(json.loads(pf_b.decode())["proof"]["opening_proof"]["pow_witness"])
+
+
+def test_raw_json_stream_tier(fib):
+    from plonky2_verifier_tpu.parallel.stream import StreamVerifier
+
+    fx, tpl, objs, raw = fib
+    sv = StreamVerifier(tpl, batch=2, raw_json=True, ingest_workers=2)
+    m = sv.run([raw] * 5)  # 2 full batches + padded partial
+    assert m.proofs == 5 and m.accepted == 5 and m.rejected == 0
