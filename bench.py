@@ -28,7 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BATCH = int(os.environ.get("BENCH_BATCH", "512"))
+BATCH = int(os.environ.get("BENCH_BATCH", "1024"))  # 512->1024: +2.3% measured
 MODEL = os.environ.get("BENCH_MODEL", "fibonacci")
 DEGREE_BITS = int(os.environ.get("BENCH_DEGREE_BITS", "12"))
 QUERIES = int(os.environ.get("BENCH_QUERIES", "28"))

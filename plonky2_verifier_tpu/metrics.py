@@ -45,6 +45,8 @@ class StreamMetrics:
     batches: int = 0
     _win_t0: float = field(default_factory=time.time)
     _win_proofs: int = 0
+    _t_first_fold: float = 0.0  # end of batch 0 = compile done
+    _proofs_first: int = 0
 
     def record_batch(self, n_proofs: int, n_accepted: int) -> None:
         self.proofs += n_proofs
@@ -52,6 +54,9 @@ class StreamMetrics:
         self.rejected += n_proofs - n_accepted
         self.batches += 1
         self._win_proofs += n_proofs
+        if self.batches == 1:
+            self._t_first_fold = time.time()
+            self._proofs_first = n_proofs
 
     def rolling_rate(self) -> float:
         """proofs/s over the current window; resets the window when read
@@ -66,7 +71,14 @@ class StreamMetrics:
     def snapshot(self) -> dict:
         dt = max(time.time() - self.t_start, 1e-9)
         pps = self.proofs / dt
+        # steady-state rate: exclude batch 0, whose wall time is dominated
+        # by the one-per-shape XLA compile (cold-start vs steady-state)
+        steady = 0.0
+        if self.batches > 1:
+            sdt = max(time.time() - self._t_first_fold, 1e-9)
+            steady = (self.proofs - self._proofs_first) / sdt
         return {
+            "steady_proofs_per_sec": round(steady, 2),
             "proofs": self.proofs,
             "accepted": self.accepted,
             "rejected": self.rejected,

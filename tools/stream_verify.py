@@ -28,6 +28,10 @@ from plonky2_verifier_tpu.parallel.stream import StreamVerifier, init_distribute
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 CORRUPT_EVERY = int(os.environ.get("CORRUPT_EVERY", "1000"))
+# P2V_RAW_INGEST=1: stream raw JSON byte pairs through the native C++
+# ingest (GIL-free thread pool) instead of parsed dataclasses — the
+# production path; ~10x the host-side throughput (tools/bench_ingest.py).
+RAW = os.environ.get("P2V_RAW_INGEST") == "1"
 
 
 def main():
@@ -39,11 +43,24 @@ def main():
     bad = copy.deepcopy(pwp)
     bad.proof.opening_proof.pow_witness ^= 1
 
-    def stream():
-        for i in range(N):
-            yield (vkey, bad if CORRUPT_EVERY and i % CORRUPT_EVERY == CORRUPT_EVERY - 1 else pwp)
+    if RAW:
+        vk_b = json.dumps(vkey.to_json()).encode()
+        pf_b = json.dumps(pwp.to_json()).encode()
+        bad_b = json.dumps(bad.to_json()).encode()
 
-    sv = StreamVerifier(tpl, BATCH)
+        def stream():
+            for i in range(N):
+                corrupt = CORRUPT_EVERY and i % CORRUPT_EVERY == CORRUPT_EVERY - 1
+                yield (vk_b, bad_b if corrupt else pf_b)
+
+    else:
+
+        def stream():
+            for i in range(N):
+                corrupt = CORRUPT_EVERY and i % CORRUPT_EVERY == CORRUPT_EVERY - 1
+                yield (vkey, bad if corrupt else pwp)
+
+    sv = StreamVerifier(tpl, BATCH, raw_json=RAW)
 
     def progress(m):
         line = m.snapshot()
@@ -54,6 +71,7 @@ def main():
     final = m.snapshot()
     final["expected_rejected"] = N // CORRUPT_EVERY if CORRUPT_EVERY else 0
     final["distributed"] = dist
+    final["raw_ingest"] = RAW
     final["device"] = str(jax.devices()[0])
     print(json.dumps(final))
     assert final["rejected"] == final["expected_rejected"], "verdict path miscounted!"
