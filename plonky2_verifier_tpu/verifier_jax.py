@@ -154,29 +154,6 @@ def sponge_rows(rows: G, width: int) -> G:
     return state[..., :4]
 
 
-def merkle_walk(leaf_digest: G, index, siblings: G, cap: G, path_len: int):
-    """Branch-free Merkle path walk + cap root compare. Shapes:
-    leaf_digest (..., 4), index (...,) uint32, siblings (..., L, 4),
-    cap (cap_len, 4) broadcast over the batch."""
-    if path_len == 0:
-        cur = leaf_digest
-    else:
-        sibs = _move_axis_to_front(siblings, -2)  # (L, ..., 4)
-        bits = jnp.stack([(index >> l) & 1 for l in range(path_len)])  # (L, ...)
-
-        def body(cur, xs):
-            sib, bit = xs
-            is_left = (bit == 0)[..., None]
-            left = jf.where(is_left, cur, sib)
-            right = jf.where(is_left, sib, cur)
-            return jp.compress(left, right), None
-
-        cur, _ = jax.lax.scan(body, leaf_digest, (sibs, bits))
-    residual = (index >> path_len).astype(jnp.int32)
-    root = G(cap.hi[residual], cap.lo[residual])  # gather over leading cap axis
-    return jf.equal(cur, root).all(axis=-1)
-
-
 def _bit_reverse(idx, bits: int):
     out = jnp.zeros_like(idx)
     for k in range(bits):
