@@ -160,12 +160,23 @@ class BucketedStreamVerifier:
     each bucket runs its own per-template StreamVerifier. Templates compile
     lazily on first sight of a shape, batches dispatch interleaved as
     buckets fill, and partial buckets pad+flush at end-of-stream exactly
-    like the single-shape driver."""
+    like the single-shape driver. With `raw_json=True` the vkey/proof slots
+    carry JSON bytes for the native ingest (common stays a parsed object —
+    it is the bucket key)."""
 
-    def __init__(self, batch: int, mesh=None, shard_queries: bool = True):
+    def __init__(
+        self,
+        batch: int,
+        mesh=None,
+        shard_queries: bool = True,
+        raw_json: bool = False,
+        ingest_workers: int = 0,
+    ):
         self.batch = batch
         self.mesh = mesh
         self.shard_queries = shard_queries
+        self.raw_json = raw_json
+        self.ingest_workers = ingest_workers
         self._buckets: dict = {}  # key -> (StreamVerifier, buffer list)
 
     def _bucket(self, common: CommonCircuitData):
@@ -176,6 +187,8 @@ class BucketedStreamVerifier:
                 self.batch,
                 mesh=self.mesh,
                 shard_queries=self.shard_queries,
+                raw_json=self.raw_json,
+                ingest_workers=self.ingest_workers,
             )
             self._buckets[key] = (sv, [])
         return key, self._buckets[key]

@@ -69,3 +69,13 @@ def test_raw_json_stream_tier(fib):
     sv = StreamVerifier(tpl, batch=2, raw_json=True, ingest_workers=2)
     m = sv.run([raw] * 5)  # 2 full batches + padded partial
     assert m.proofs == 5 and m.accepted == 5 and m.rejected == 0
+
+
+def test_raw_json_bucketed_stream(fib):
+    from plonky2_verifier_tpu.parallel.stream import BucketedStreamVerifier, template_key
+
+    fx, tpl, objs, (vk_b, pf_b) = fib
+    bsv = BucketedStreamVerifier(batch=2, raw_json=True, ingest_workers=2)
+    per_shape = bsv.run([(fx.common, vk_b, pf_b)] * 3)
+    key = template_key(fx.common)
+    assert per_shape[key].proofs == 3 and per_shape[key].accepted == 3
