@@ -1,20 +1,32 @@
 """Native host-runtime components (C++, built on demand with g++).
 
 `fastload` is the proof-ingest fast path: Plonky2 JSON -> flattened uint64
-batch arrays, ~an order of magnitude over the Python json/dataclass path
-and GIL-free during parse so thread pools scale it across host cores
-(tools/bench_ingest.py for measured numbers). Falls back cleanly to the
-pure-Python path when no toolchain is available: `get_fastload()` returns
-None and callers use compiler.flatten.flatten_proofs instead.
+batch arrays in a single parse pass (no DOM), GIL-free during parse so
+thread pools scale it across host cores (tools/bench_ingest.py for measured
+numbers). The build is gated on a hash of fastload.cpp recorded next to the
+.so — a stale or foreign binary is never loaded silently. When no toolchain
+is available, `get_fastload()` returns None and `flatten_proof_jsons` falls
+back to the pure-Python path (strict_loads -> types.from_json ->
+compiler.flatten.flatten_proofs), so callers see identical arrays either
+way, just slower.
+
+Both raw-JSON ingest tiers reject documents with duplicated schema keys:
+json.loads is last-wins, a naive native parser is typically first-wins, and
+on untrusted proof bytes that difference is a parser differential (two
+tiers disagreeing on the same document). `strict_loads` is the Python-side
+guard.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import subprocess
+import sys
 import sysconfig
 import threading
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -24,17 +36,35 @@ _LOCK = threading.Lock()
 _CACHED = False
 _MOD = None
 
+#: stderr of the last failed g++ invocation (None if the build never failed).
+last_build_error: Optional[str] = None
+
 
 def _so_path() -> str:
     return os.path.join(_BUILD, "p2v_fastload" + (sysconfig.get_config_var("EXT_SUFFIX") or ".so"))
 
 
+def _src_hash(src: str) -> str:
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def build(force: bool = False) -> Optional[str]:
-    """Compile the extension if needed; returns the .so path or None."""
+    """Compile the extension if needed; returns the .so path or None.
+
+    Staleness is decided by a recorded sha256 of fastload.cpp (written next
+    to the .so on every successful build), not file mtimes: a checked-out or
+    copied binary whose recorded hash does not match the current source is
+    rebuilt, never loaded as-is."""
+    global last_build_error
     so = _so_path()
     src = os.path.join(_DIR, "fastload.cpp")
-    if not force and os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
-        return so
+    want = _src_hash(src)
+    tag = so + ".srchash"
+    if not force and os.path.exists(so) and os.path.exists(tag):
+        with open(tag) as f:
+            if f.read().strip() == want:
+                return so
     os.makedirs(_BUILD, exist_ok=True)
     include = sysconfig.get_paths()["include"]
     cmd = [
@@ -43,8 +73,16 @@ def build(force: bool = False) -> Optional[str]:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-    except Exception:
+    except subprocess.CalledProcessError as e:
+        last_build_error = (e.stderr or b"").decode(errors="replace")
+        print(f"p2v native build failed:\n{last_build_error}", file=sys.stderr)
         return None
+    except Exception as e:
+        last_build_error = repr(e)
+        print(f"p2v native build failed: {last_build_error}", file=sys.stderr)
+        return None
+    with open(tag, "w") as f:
+        f.write(want)
     return so
 
 
@@ -69,6 +107,21 @@ def get_fastload():
             return None
         _MOD = mod
         return _MOD
+
+
+def _reject_dupes(pairs):
+    d = {}
+    for k, v in pairs:
+        if k in d:
+            raise ValueError(f"duplicate key: {k}")
+        d[k] = v
+    return d
+
+
+def strict_loads(data):
+    """json.loads that rejects duplicated object keys, matching the native
+    parser — the two raw-JSON ingest tiers must agree on every document."""
+    return json.loads(data, object_pairs_hook=_reject_dupes)
 
 
 def shape_descriptor(tpl) -> dict:
@@ -122,30 +175,48 @@ def alloc_batch_arrays(tpl, batch: int) -> Dict[str, np.ndarray]:
     return {k: np.zeros(shape, dtype=np.uint64) for k, shape in out.items()}
 
 
+def _flatten_python(tpl, pairs):
+    from ..compiler.flatten import flatten_proofs
+    from ..types import ProofWithPublicInputs, VerifierOnlyCircuitData
+
+    objs = [
+        (
+            VerifierOnlyCircuitData.from_json(strict_loads(vk)),
+            ProofWithPublicInputs.from_json(strict_loads(pf)),
+        )
+        for vk, pf in pairs
+    ]
+    return flatten_proofs(tpl, objs)
+
+
 def flatten_proof_jsons(
     tpl,
     pairs: Sequence[Tuple[bytes, bytes]],
     workers: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Native counterpart of compiler.flatten.flatten_proofs taking raw
-    (vkey_json, proof_json) byte pairs. `workers` > 1 parses rows on a
-    thread pool (the extension drops the GIL during parse+fill)."""
+    (vkey_json, proof_json) byte pairs. `workers` > 1 splits the batch into
+    contiguous row chunks parsed on a thread pool (the extension drops the
+    GIL for each whole chunk). Falls back to the pure-Python path when the
+    native toolchain is unavailable."""
     mod = get_fastload()
     if mod is None:
-        raise RuntimeError("native fastload unavailable (no toolchain?)")
+        return _flatten_python(tpl, pairs)
     shape = shape_descriptor(tpl)
     out = alloc_batch_arrays(tpl, len(pairs))
+    pairs = [(bytes(vk), bytes(pf)) for vk, pf in pairs]
 
-    def one(i: int):
-        vk, pf = pairs[i]
-        mod.flatten_into(shape, out, i, vk, pf)
-
-    if workers and workers > 1 and len(pairs) > 1:
+    n = len(pairs)
+    if workers and workers > 1 and n > 1:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            list(ex.map(one, range(len(pairs))))
+        k = min(workers, n)
+        step = -(-n // k)
+        chunks = [(i, pairs[i : i + step]) for i in range(0, n, step)]
+        with ThreadPoolExecutor(max_workers=k) as ex:
+            futs = [ex.submit(mod.flatten_rows, shape, out, s, c) for s, c in chunks]
+            for f in futs:
+                f.result()
     else:
-        for i in range(len(pairs)):
-            one(i)
+        mod.flatten_rows(shape, out, 0, pairs)
     return out

@@ -62,6 +62,67 @@ def test_native_rejects_malformed(fib):
     assert out["pow_witness"][0] != np.uint64(json.loads(pf_b.decode())["proof"]["opening_proof"]["pow_witness"])
 
 
+def test_native_duplicate_key_rejected(fib):
+    """Parser-differential guard: json.loads is last-wins on duplicated keys
+    while a naive native parser is first-wins — the same untrusted bytes must
+    not be read differently by the two ingest tiers. Both raw tiers REJECT:
+    the native parser throws on a duplicated schema key, and the Python
+    fallback uses native.strict_loads."""
+    from plonky2_verifier_tpu.native import strict_loads
+
+    fx, tpl, objs, (vk_b, pf_b) = fib
+    # splice a second pow_witness into the opening_proof object
+    marker = b'"pow_witness":'
+    i = pf_b.index(marker)
+    dup = pf_b[:i] + b'"pow_witness": 12345, ' + pf_b[i:]
+    with pytest.raises(ValueError, match="duplicate key"):
+        flatten_proof_jsons(tpl, [(vk_b, dup)])
+    with pytest.raises(ValueError, match="duplicate key"):
+        strict_loads(dup)
+
+
+def test_native_trailing_garbage_rejected(fib):
+    fx, tpl, objs, (vk_b, pf_b) = fib
+    with pytest.raises(ValueError, match="trailing"):
+        flatten_proof_jsons(tpl, [(vk_b, pf_b + b" {}")])
+    with pytest.raises(ValueError, match="trailing"):
+        flatten_proof_jsons(tpl, [(vk_b + b"7", pf_b)])
+
+
+def test_native_key_order_and_unknown_keys(fib):
+    """The single-pass parser dispatches on key names, not position: a
+    reordered document and one with extra unknown keys must flatten to the
+    same arrays (json.loads tolerance, minus duplicates)."""
+    fx, tpl, objs, (vk_b, pf_b) = fib
+    ref = flatten_proofs(tpl, [objs])
+
+    def reorder(o):
+        if isinstance(o, dict):
+            return {k: reorder(o[k]) for k in reversed(list(o))}
+        if isinstance(o, list):
+            return [reorder(x) for x in o]
+        return o
+
+    obj = reorder(json.loads(pf_b))
+    obj["extra_field"] = {"nested": [1, 2, {"deep": "str"}], "b": True, "n": None}
+    got = flatten_proof_jsons(tpl, [(vk_b, json.dumps(obj).encode())])
+    for k in ref:
+        assert (got[k] == ref[k]).all(), k
+
+
+def test_python_fallback_matches_native(fib, monkeypatch):
+    """flatten_proof_jsons must produce identical arrays with the toolchain
+    absent (the documented pure-Python fallback path)."""
+    import plonky2_verifier_tpu.native as native
+
+    fx, tpl, objs, raw = fib
+    ref = flatten_proof_jsons(tpl, [raw] * 2, workers=0)
+    monkeypatch.setattr(native, "get_fastload", lambda: None)
+    got = native.flatten_proof_jsons(tpl, [raw] * 2, workers=0)
+    for k in ref:
+        assert (got[k] == ref[k]).all(), k
+
+
 def test_raw_json_stream_tier(fib):
     from plonky2_verifier_tpu.parallel.stream import StreamVerifier
 
