@@ -47,6 +47,18 @@ class StreamMetrics:
     _win_proofs: int = 0
     _t_first_fold: float = 0.0  # end of batch 0 = compile done
     _proofs_first: int = 0
+    # where stream wall time goes: host-side flatten/ingest vs blocking on
+    # the device verdict (dispatch itself is async and ~free)
+    ingest_s: float = 0.0
+    device_wait_s: float = 0.0
+    _ingest_proofs: int = 0
+
+    def record_ingest(self, dt: float, n_proofs: int) -> None:
+        self.ingest_s += dt
+        self._ingest_proofs += n_proofs
+
+    def record_device_wait(self, dt: float) -> None:
+        self.device_wait_s += dt
 
     def record_batch(self, n_proofs: int, n_accepted: int) -> None:
         self.proofs += n_proofs
@@ -77,8 +89,19 @@ class StreamMetrics:
         if self.batches > 1:
             sdt = max(time.time() - self._t_first_fold, 1e-9)
             steady = (self.proofs - self._proofs_first) / sdt
+        ing = {}
+        if self._ingest_proofs:
+            ing = {
+                "ingest_s": round(self.ingest_s, 3),
+                "device_wait_s": round(self.device_wait_s, 3),
+                "ingest_ms_per_proof": round(self.ingest_s / self._ingest_proofs * 1000, 3),
+                # share of stream wall time spent in host-side ingest: ~1.0
+                # means the host starves the device, ~0.0 means device-bound
+                "ingest_utilization": round(self.ingest_s / dt, 3),
+            }
         return {
             "steady_proofs_per_sec": round(steady, 2),
+            **ing,
             "proofs": self.proofs,
             "accepted": self.accepted,
             "rejected": self.rejected,

@@ -120,7 +120,11 @@ class StreamVerifier:
     def submit(self, group: list, live: int, on_batch=None) -> None:
         """Dispatch one full-size batch (async); folds the previous batch's
         verdict once this one is enqueued (the pipelining overlap)."""
+        import time
+
+        t0 = time.time()
         dev = self._prepare(self._flatten(group))
+        self.metrics.record_ingest(time.time() - t0, len(group))
         out = self._v(dev)  # async dispatch
         if self._pending is not None:
             self._fold(self._pending, on_batch)
@@ -145,10 +149,14 @@ class StreamVerifier:
         return self.metrics
 
     def _fold(self, pending, on_batch) -> None:
+        import time
+
         import jax
 
         out, live = pending
+        t0 = time.time()
         ok = np.asarray(jax.device_get(out["ok"]))[:live]
+        self.metrics.record_device_wait(time.time() - t0)
         self.metrics.record_batch(live, int(ok.sum()))
         if on_batch is not None:
             on_batch(self.metrics)

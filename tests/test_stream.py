@@ -87,6 +87,22 @@ def test_rolling_metrics_sane(fib):
     assert m.rolling_rate() >= 0.0
 
 
+def test_ingest_device_split_reported(fib):
+    """The snapshot must attribute stream wall time: host-side ingest
+    (flatten + device put) vs blocking on the device verdict — the numbers
+    that show whether a host can feed a mesh (docs/performance.md)."""
+    common, vkey, pwp = fib
+    sv = StreamVerifier(CircuitTemplate(common), batch=4)
+    m = sv.run([(vkey, pwp)] * 8)
+    snap = m.snapshot()
+    assert snap["ingest_s"] > 0
+    assert snap["ingest_ms_per_proof"] > 0
+    assert 0.0 <= snap["ingest_utilization"] <= 1.0
+    assert snap["device_wait_s"] >= 0
+    # conservation: ingest + device wait cannot exceed total elapsed
+    assert snap["ingest_s"] + snap["device_wait_s"] <= snap["elapsed_s"] + 0.05
+
+
 def test_stream_over_mesh(fib8):
     """StreamVerifier with a mesh routes through ShardedVerifier: same
     counts, psum verdict, corrupt lane still detected."""
