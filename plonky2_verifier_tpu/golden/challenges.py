@@ -69,6 +69,18 @@ def fri_opening_batches(openings) -> Tuple[List[FExt], List[FExt]]:
     return batch_this, batch_next
 
 
+def lookup_delta_challenges(
+    d: Duplex, betas: List[int], gammas: List[int], num_challenges: int
+) -> List[LookupDelta]:
+    """Lookup challenge 4-tuples: the plonk β/γ DOUBLE as the first lookup
+    challenges; only 2r extra felts are squeezed (Challenge/Verifier.hs:82-86).
+    Squeezing 4r fresh felts instead shifts the whole downstream transcript
+    (docs/traps.md row 10; mutation-tested in tests/test_traps.py)."""
+    extra = d.squeeze_n(2 * num_challenges)
+    all4 = betas + gammas + extra
+    return [LookupDelta(*all4[i : i + 4]) for i in range(0, len(all4), 4)]
+
+
 def proof_challenges(
     common: CommonCircuitData,
     vkey: VerifierOnlyCircuitData,
@@ -91,9 +103,7 @@ def proof_challenges(
 
     deltas: List[LookupDelta] = []
     if has_lookup:
-        extra = d.squeeze_n(2 * num_challenges)
-        all4 = betas + gammas + extra
-        deltas = [LookupDelta(*all4[i : i + 4]) for i in range(0, len(all4), 4)]
+        deltas = lookup_delta_challenges(d, betas, gammas, num_challenges)
 
     d.absorb_cap(proof.plonk_zs_partial_products_cap)
     alphas = d.squeeze_n(num_challenges)

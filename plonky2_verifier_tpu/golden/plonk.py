@@ -173,6 +173,14 @@ def eval_all_plonk_constraints(
     return zs1 + pp_checks + lookup_checks + combined
 
 
+def pad_lut(table, total_slots: int):
+    """Pad a LUT to full rows with its FIRST entry, multiplicity 0 —
+    upstream fix 091047f (Plonk/Lookups.hs:99-109). Zero-padding instead
+    changes the final-RE table polynomial and rejects honest proofs
+    (docs/traps.md row 8; mutation-tested in tests/test_traps.py)."""
+    return list(table) + [table[0]] * (total_slots - len(table))
+
+
 def eval_lookup_equations(
     common: CommonCircuitData, lkp_sels: Sequence[FExt], openings: OpeningSet, challenges: ProofChallenges
 ) -> List[FExt]:
@@ -215,7 +223,7 @@ def eval_lookup_equations(
         eq_finals_re = []
         for k, table in enumerate(common.luts):
             lut_nrows = -(-len(table) // num_lut_slots)
-            padded = list(table) + [table[0]] * (lut_nrows * num_lut_slots - len(table))
+            padded = pad_lut(table, lut_nrows * num_lut_slots)
             cur = 0
             for inp, out in padded:
                 cur = (delta.delta * cur + inp + delta.b * out) % gf.P

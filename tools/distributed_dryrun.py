@@ -1,14 +1,18 @@
-"""Two-process jax.distributed dryrun of the sharded verifier (SURVEY §2.8
+"""Multi-process jax.distributed dryrun of the sharded verifier (SURVEY §2.8
 collectives tier; multi-host shape of the reference's single verifyProof
 unit of work, Plonk/Verifier.hs:56-66).
 
-Parent mode (no args): spawns two child processes wired to a localhost
-coordinator (P2V_DISTRIBUTED=1 + the standard JAX_* env), each owning 4
-virtual CPU devices of a global 8-device ('dp','qp') mesh. Each child
-verifies its addressable shards of one global proof batch; the psum'd
-`n_valid` must equal the global batch size in BOTH processes — the verdict
-reduction really crossed the process boundary. Writes DISTRIBUTED_r04.json
-at the repo root.
+Parent mode (no args): spawns P2V_DIST_NPROC child processes (default 2)
+wired to a localhost coordinator (P2V_DISTRIBUTED=1 + the standard JAX_*
+env), each owning P2V_DIST_LOCAL virtual CPU devices (default 4) of a
+global ('dp','qp') mesh. Each child verifies its addressable shards of one
+global proof batch containing ONE corrupted lane; the psum'd `n_valid`
+must equal batch-1 in EVERY process — the verdict reduction really crossed
+the process boundary and the fault was detected across it. Writes
+P2V_DIST_OUT (default DISTRIBUTED_r05.json) at the repo root.
+
+The 8-process x 1-device setting (P2V_DIST_NPROC=8 P2V_DIST_LOCAL=1) is the
+pure-DCN shape: every collective hop crosses a process boundary.
 
 Child mode (``--child``): uses `parallel.stream.init_distributed` (the
 env-gated production hook) and `jax.make_array_from_callback` so each
@@ -25,9 +29,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 PORT = int(os.environ.get("P2V_COORD_PORT", "29517"))
-NPROC = 2
-LOCAL_DEVICES = 4
-BATCH = 8  # one proof per global 'dp' slot
+NPROC = int(os.environ.get("P2V_DIST_NPROC", "2"))
+LOCAL_DEVICES = int(os.environ.get("P2V_DIST_LOCAL", "4"))
+QUERIES = int(os.environ.get("P2V_DIST_QUERIES", "8"))
+OUT = os.environ.get("P2V_DIST_OUT", "DISTRIBUTED_r05.json")
+BATCH = NPROC * LOCAL_DEVICES  # one proof per global 'dp' slot
+BAD_LANE = 1 % BATCH  # exactly one corrupted lane in the global batch
 
 
 def child():
@@ -56,9 +63,14 @@ def child():
     from plonky2_verifier_tpu.ops import field as jf
     from plonky2_verifier_tpu.parallel import ShardedVerifier, make_mesh
 
-    common, vkey, pwp = get_fixture_proof("fibonacci", num_query_rounds=8)
+    common, vkey, pwp = get_fixture_proof("fibonacci", num_query_rounds=QUERIES)
     tpl = CircuitTemplate(common)
-    arrays = flatten_proofs(tpl, [(vkey, pwp)] * BATCH)
+    import copy
+
+    bad = copy.deepcopy(pwp)
+    bad.proof.opening_proof.pow_witness ^= 1
+    lanes = [(vkey, bad if i == BAD_LANE else pwp) for i in range(BATCH)]
+    arrays = flatten_proofs(tpl, lanes)
 
     mesh = make_mesh(jax.devices(), dp=n_global // 2, qp=2)
     sv = ShardedVerifier(tpl, mesh)
@@ -81,6 +93,7 @@ def child():
     t0 = time.time()
     out = sv(shard_global(arrays))
     n_valid = int(jax.device_get(out["n_valid"]))  # replicated => addressable
+    want = BATCH - 1  # the corrupted lane must be rejected mesh-wide
     print(
         json.dumps(
             {
@@ -88,14 +101,15 @@ def child():
                 "global_devices": n_global,
                 "local_devices": n_local,
                 "batch": BATCH,
+                "corrupt_lane": BAD_LANE,
                 "n_valid": n_valid,
                 "wall_s": round(time.time() - t0, 1),
-                "ok": n_valid == BATCH,
+                "ok": n_valid == want,
             }
         ),
         flush=True,
     )
-    sys.exit(0 if n_valid == BATCH else 1)
+    sys.exit(0 if n_valid == want else 1)
 
 
 def parent():
@@ -137,9 +151,10 @@ def parent():
         "ok": ok and all(r.get("ok") for r in results),
         "processes": results,
         "mesh": {"dp": NPROC * LOCAL_DEVICES // 2, "qp": 2},
+        "corrupt_lane": BAD_LANE,
         "transport": "gloo cross-process CPU collectives (DCN stand-in)",
     }
-    path = os.path.join(REPO, "DISTRIBUTED_r04.json")
+    path = os.path.join(REPO, OUT)
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
