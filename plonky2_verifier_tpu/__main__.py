@@ -10,6 +10,16 @@ for the reference's gitignored `json/` corpus (SURVEY §4).
         [--batch N] [--quiet]
     python -m plonky2_verifier_tpu fixture MODEL OUT_PREFIX
         [--queries N] [--pow-bits N] [--degree-bits N]
+    python -m plonky2_verifier_tpu stream PATH [--batch N] [--repeat N]
+        [--no-raw] [--workers N]
+
+`stream` drives the mixed-shape BucketedStreamVerifier over many proof
+triples without writing Python: PATH is either a directory (every
+`X_common.json` with sibling `X_vkey.json`/`X_proof.json` is one item) or
+a .jsonl manifest whose lines are {"prefix": "..."} or {"common_file":
+..., "vkey_file": ..., "proof_file": ...}. vkey/proof JSON go through the
+native C++ ingest as raw bytes (never json.loads'd on the host) unless
+--no-raw.
 
 Exit code 0 iff every proof verifies.
 """
@@ -101,7 +111,94 @@ def _cmd_fixture(args) -> int:
     return 0
 
 
+def _stream_items(path: str):
+    """Yield (common, vkey, proof) stream items from a dir or .jsonl manifest;
+    vkey/proof stay raw bytes (the native single-pass ingest parses them)."""
+    import glob
+    import json
+    import os
+
+    from .types import load_common
+
+    def triple(prefix):
+        common = load_common(f"{prefix}_common.json")
+        with open(f"{prefix}_vkey.json", "rb") as f:
+            vk = f.read()
+        with open(f"{prefix}_proof.json", "rb") as f:
+            pf = f.read()
+        return common, vk, pf
+
+    if os.path.isdir(path):
+        for c in sorted(glob.glob(os.path.join(path, "*_common.json"))):
+            prefix = c[: -len("_common.json")]
+            if os.path.exists(f"{prefix}_vkey.json") and os.path.exists(f"{prefix}_proof.json"):
+                yield triple(prefix)
+        return
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            spec = json.loads(line)
+            if "prefix" in spec:
+                yield triple(spec["prefix"])
+            else:
+                common = load_common(spec["common_file"])
+                with open(spec["vkey_file"], "rb") as vf:
+                    vk = vf.read()
+                with open(spec["proof_file"], "rb") as pf_:
+                    pf = pf_.read()
+                yield common, vk, pf
+
+
+def _cmd_stream(args) -> int:
+    import json
+
+    from .parallel.stream import BucketedStreamVerifier, init_distributed
+
+    init_distributed()
+    items = list(_stream_items(args.path))
+    if not items:
+        print(f"no proof triples found under {args.path}", file=sys.stderr)
+        return 2
+    if args.repeat > 1:
+        items = items * args.repeat
+    if args.no_raw:
+        # parsed-dataclass path: vkey/proof must become objects
+        from .types import ProofWithPublicInputs, VerifierOnlyCircuitData
+
+        items = [
+            (c, VerifierOnlyCircuitData.from_json(json.loads(vk)), ProofWithPublicInputs.from_json(json.loads(pf)))
+            for c, vk, pf in items
+        ]
+    bsv = BucketedStreamVerifier(
+        batch=args.batch, raw_json=not args.no_raw, ingest_workers=args.workers
+    )
+
+    def progress(key, m):
+        if not args.quiet:
+            print(f"{key} {m.line()}", flush=True)
+
+    per_shape = bsv.run(items, on_batch=progress)
+    total = {"shapes": len(per_shape), "proofs": 0, "accepted": 0, "rejected": 0}
+    for key, m in per_shape.items():
+        total["proofs"] += m.proofs
+        total["accepted"] += m.accepted
+        total["rejected"] += m.rejected
+    print(json.dumps({**total, "per_shape": {k: m.snapshot() for k, m in per_shape.items()}}))
+    return 0 if total["rejected"] == 0 and total["proofs"] > 0 else 1
+
+
 def main(argv=None) -> int:
+    import os
+
+    # P2V_JAX_PLATFORMS=cpu pins the backend before first device touch (the
+    # axon TPU plugin ignores the standard JAX_PLATFORMS env, so the CLI
+    # mirrors the tests' jax.config workaround).
+    if os.environ.get("P2V_JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["P2V_JAX_PLATFORMS"])
     p = argparse.ArgumentParser(prog="python -m plonky2_verifier_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -119,6 +216,15 @@ def main(argv=None) -> int:
     pf.add_argument("--pow-bits", type=int, default=8)
     pf.add_argument("--degree-bits", type=int, default=0)
     pf.set_defaults(fn=_cmd_fixture)
+
+    ps = sub.add_parser("stream", help="stream-verify many proof triples (mixed shapes ok)")
+    ps.add_argument("path", help="directory of *_{common,vkey,proof}.json or a .jsonl manifest")
+    ps.add_argument("--batch", type=int, default=256)
+    ps.add_argument("--repeat", type=int, default=1, help="cycle the item list N times")
+    ps.add_argument("--workers", type=int, default=0, help="ingest threads (0 = host cores)")
+    ps.add_argument("--no-raw", action="store_true", help="parsed-dataclass ingest instead of native")
+    ps.add_argument("--quiet", action="store_true")
+    ps.set_defaults(fn=_cmd_stream)
 
     args = p.parse_args(argv)
     return args.fn(args)

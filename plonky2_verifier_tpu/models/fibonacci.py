@@ -16,6 +16,7 @@ def fibonacci_fixture(
     seed: int = 0,
     x0: int = 1,
     x1: int = 2,
+    **builder_kwargs,
 ) -> Fixture:
     """Compute fib-style chain x_{k+2} = x_k + x_{k+1} across `n_arith_rows`
     ArithmeticGate rows (20 ops each), with:
@@ -26,7 +27,15 @@ def fibonacci_fixture(
     Different (x0, x1) produce distinct proofs over the *same* circuit shape
     (identical CommonCircuitData/template) — used for heterogeneous-batch
     tests where every lane must carry a genuinely different transcript."""
-    b = CircuitBuilder(seed=seed, num_query_rounds=num_query_rounds, proof_of_work_bits=proof_of_work_bits)
+    # builder_kwargs passes shape knobs straight through (cap_height,
+    # arity_bits, final_poly_bits, rate_bits...): circuit shape is data
+    # (Types.hs:151-171) and the shape-grid tests exercise the derivations
+    b = CircuitBuilder(
+        seed=seed,
+        num_query_rounds=num_query_rounds,
+        proof_of_work_bits=proof_of_work_bits,
+        **builder_kwargs,
+    )
     arith = Gate("ArithmeticGate", (20,))
     const = Gate("ConstantGate", (2,))
     pi = Gate("PublicInputGate")

@@ -1,17 +1,25 @@
 """Decompose verifier compile time by stage: lower+compile each piece of
 JaxVerifier separately (fresh in-memory cache, persistent cache off) and
-report HLO module sizes. Usage:
+report HLO module sizes. Prints one JSON line at the end (the COMPILE_r05
+artifact row). Usage:
     python tools/profile_compile.py [model] [num_query_rounds]
-"""
+Backend: XLA:CPU by default (tunnel-free — the axon TPU tunnel makes
+compile_s noise, BENCH_WARM_r04.json); set P2V_PROFILE_TPU=1 to measure the
+real chip instead."""
 
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+TPU = os.environ.get("P2V_PROFILE_TPU") == "1"
+if not TPU:
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax
+
+if not TPU:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,6 +62,9 @@ dev = v.prepare(arrays)
 print(f"model={MODEL} degree_bits={tpl.degree_bits} Q={tpl.num_queries} gates={len(common.gates)}", flush=True)
 
 
+STAGES = []
+
+
 def profile(name, fn, *args):
     t0 = time.time()
     lowered = jax.jit(fn).lower(*args)
@@ -65,6 +76,15 @@ def profile(name, fn, *args):
     print(
         f"{name:18s} lower {t_lower:6.1f}s  compile {t_compile:6.1f}s  hlo {len(txt)/1e6:7.2f} MB  lines {txt.count(chr(10)):>8}",
         flush=True,
+    )
+    STAGES.append(
+        {
+            "stage": name.strip(),
+            "lower_s": round(t_lower, 2),
+            "compile_s": round(t_compile, 2),
+            "hlo_mb": round(len(txt) / 1e6, 2),
+            "hlo_lines": txt.count(chr(10)),
+        }
     )
     return compiled
 
@@ -141,3 +161,20 @@ def plonk_only(a):
 
 
 profile("plonk_checks", plonk_only, dev)
+
+import json
+
+print(
+    json.dumps(
+        {
+            "model": MODEL,
+            "backend": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+            "degree_bits": tpl.degree_bits,
+            "num_queries": tpl.num_queries,
+            "batch": B,
+            "stages": STAGES,
+        }
+    ),
+    flush=True,
+)
