@@ -59,8 +59,13 @@ def expand_reduction_strategy(degree_bits: int, strategy) -> List[int]:
         out = []
         logn = degree_bits
         while logn > final_poly_bits:
-            out.append(arity_bits)
-            logn -= arity_bits
+            # clamp the last step so folds land exactly on final_poly_bits
+            # (mirrors models/builder.py; the reference verifier never
+            # expands — fri_reduction_arity_bits arrives as data,
+            # Types.hs:151-157 — so expansion self-consistency is on us)
+            a = min(arity_bits, logn - final_poly_bits)
+            out.append(a)
+            logn -= a
         return out
     if strategy.fixed is not None:
         return list(strategy.fixed)

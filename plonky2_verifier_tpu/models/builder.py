@@ -334,11 +334,16 @@ class CircuitBuilder:
             ),
             num_query_rounds=self.num_query_rounds,
         )
+        # the last arity is clamped so the folds land exactly on
+        # final_poly_bits (an overshoot would make the canonical final-poly
+        # length 2^(negative); mirrored in golden/fri.py
+        # expand_reduction_strategy — the two expansions must agree)
         arities = []
         logn = degree_bits
         while logn > self.final_poly_bits:
-            arities.append(self.arity_bits)
-            logn -= self.arity_bits
+            a = min(self.arity_bits, logn - self.final_poly_bits)
+            arities.append(a)
+            logn -= a
         fri_params = FriParams(
             config=fri_config, hiding=False, degree_bits=degree_bits, reduction_arity_bits=arities
         )

@@ -71,10 +71,18 @@ def main():
     accept = bool(np.asarray(out["ok"]).all())
 
     rejects = {}
-    fault_arrays = ["pow_witness", "cap_cs", "final_poly"]
+    # cap_w is transcript-absorbed, so its mutation rejects DETERMINISTICALLY
+    # at any shape; cap_cs (constants cap, not absorbed — it is vkey data)
+    # is only caught when a query round lands in the mutated entry's subtree,
+    # so it is not a valid always-reject probe at cap_len >> num_queries.
+    fault_arrays = ["pow_witness", "cap_w", "final_poly"]
     if tpl.steps:
-        fault_arrays.append("step_sibs_0")
+        # step_sibs can be zero-size when the step cap covers the whole
+        # folded tree (path_len 0); step_evals is never empty
+        fault_arrays += ["step_sibs_0", "step_evals_0"]
     for name in fault_arrays:
+        if base[name].size == 0:
+            continue
         mutated = {k: a.copy() for k, a in base.items()}
         flat = mutated[name].reshape(-1)
         flat[0] ^= np.uint64(1)

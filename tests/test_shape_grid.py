@@ -30,7 +30,6 @@ GRID = [
 ]
 
 
-@pytest.mark.timeout(1200)
 def test_shape_grid_device():
     script = os.path.join(os.path.dirname(__file__), "shape_grid_check.py")
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
