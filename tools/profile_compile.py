@@ -37,6 +37,10 @@ if MODEL == "fibonacci":
     from plonky2_verifier_tpu.models.fibonacci import fibonacci_fixture
 
     fx = fibonacci_fixture(num_query_rounds=Q)
+elif MODEL == "lookup":
+    from plonky2_verifier_tpu.models.lookup import lookup_fixture
+
+    fx = lookup_fixture(table_size=8, n_lookups=6, num_query_rounds=Q, proof_of_work_bits=2)
 elif MODEL == "fibonacci12":
     from plonky2_verifier_tpu.models.cache import get_fixture_proof
 
@@ -73,8 +77,12 @@ def profile(name, fn, *args):
     t0 = time.time()
     compiled = lowered.compile()
     t_compile = time.time() - t0
+    t0 = time.time()
+    out = compiled(*args)
+    jax.block_until_ready(out)
+    t_exec = time.time() - t0
     print(
-        f"{name:18s} lower {t_lower:6.1f}s  compile {t_compile:6.1f}s  hlo {len(txt)/1e6:7.2f} MB  lines {txt.count(chr(10)):>8}",
+        f"{name:18s} lower {t_lower:6.1f}s  compile {t_compile:6.1f}s  exec {t_exec:8.3f}s  hlo {len(txt)/1e6:7.2f} MB  lines {txt.count(chr(10)):>8}",
         flush=True,
     )
     STAGES.append(
@@ -82,6 +90,7 @@ def profile(name, fn, *args):
             "stage": name.strip(),
             "lower_s": round(t_lower, 2),
             "compile_s": round(t_compile, 2),
+            "exec_s": round(t_exec, 3),
             "hlo_mb": round(len(txt) / 1e6, 2),
             "hlo_lines": txt.count(chr(10)),
         }
@@ -89,8 +98,16 @@ def profile(name, fn, *args):
     return compiled
 
 
+ONLY = os.environ.get("P2V_PROFILE_STAGES", "").split(",") if os.environ.get("P2V_PROFILE_STAGES") else None
+
+
+def want(name):
+    return ONLY is None or any(s and s in name for s in ONLY)
+
+
 # full verify
-profile("FULL _verify", v._verify, dev)
+if want("FULL"):
+    profile("FULL _verify", v._verify, dev)
 
 # transcript only
 def transcript(a):
@@ -106,7 +123,8 @@ def transcript(a):
     return ch["zeta"][0].hi
 
 
-profile("transcript", transcript, dev)
+if want("transcript"):
+    profile("transcript", transcript, dev)
 
 
 def fri_only(a):
@@ -126,7 +144,8 @@ def fri_only(a):
     return v._fri_checks(a, o1, o2, zeta, fri_alpha, fri_betas, pow_response, qidx, fp)
 
 
-profile("fri_checks", fri_only, dev)
+if want("fri"):
+    profile("fri_checks", fri_only, dev)
 
 
 def plonk_only(a):
@@ -160,7 +179,8 @@ def plonk_only(a):
                            lookup_zs, lookup_zs_next, quots, betas, gammas, alphas, deltas, zeta)
 
 
-profile("plonk_checks", plonk_only, dev)
+if want("plonk"):
+    profile("plonk_checks", plonk_only, dev)
 
 import json
 
