@@ -59,11 +59,14 @@ def expand_reduction_strategy(degree_bits: int, strategy) -> List[int]:
         out = []
         logn = degree_bits
         while logn > final_poly_bits:
-            # clamp the last step so folds land exactly on final_poly_bits
-            # (mirrors models/builder.py; the reference verifier never
-            # expands — fri_reduction_arity_bits arrives as data,
-            # Types.hs:151-157 — so expansion self-consistency is on us)
-            a = min(arity_bits, logn - final_poly_bits)
+            # upstream pushes the FULL arity each step (commentary/FRI.md:46
+            # — overshoot below final_poly_bits is normal, the final poly
+            # may be smaller than 2^final_poly_bits). Only logn < arity
+            # (upstream-unreachable) is clamped so the canonical final-poly
+            # length stays >= 1. Mirrors models/builder.py; the reference
+            # verifier never expands — arities arrive as data
+            # (Types.hs:151-157) — so self-consistency is on us.
+            a = min(arity_bits, logn)
             out.append(a)
             logn -= a
         return out

@@ -334,14 +334,17 @@ class CircuitBuilder:
             ),
             num_query_rounds=self.num_query_rounds,
         )
-        # the last arity is clamped so the folds land exactly on
-        # final_poly_bits (an overshoot would make the canonical final-poly
-        # length 2^(negative); mirrored in golden/fri.py
-        # expand_reduction_strategy — the two expansions must agree)
+        # upstream semantics (commentary/FRI.md:46): push the FULL arity
+        # while logn > final_poly_bits — overshooting below final_poly_bits
+        # is normal (2^12 -> 2^8 -> 2^4 with final_poly_bits=5; the final
+        # poly may be SMALLER than 2^final_poly_bits). Only the upstream-
+        # unreachable corner logn < arity_bits is clamped (to logn) so the
+        # canonical final-poly length 2^(degree_bits - sum) stays >= 1.
+        # Mirrored in golden/fri.py expand_reduction_strategy.
         arities = []
         logn = degree_bits
         while logn > self.final_poly_bits:
-            a = min(self.arity_bits, logn - self.final_poly_bits)
+            a = min(self.arity_bits, logn)
             arities.append(a)
             logn -= a
         fri_params = FriParams(
