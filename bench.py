@@ -30,6 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH = int(os.environ.get("BENCH_BATCH", "1024"))  # 512->1024: +2.3% measured
 MODEL = os.environ.get("BENCH_MODEL", "fibonacci")
+# fused sponge/Merkle chain kernels are the faster validated config for the
+# standard shape (BENCH_FUSED_r05.json: 5,621 @1024 / 5,630 @2048 vs 5,537
+# plain; bit-exactness re-proven each round in HASH_KERNELS artifacts), so
+# they are the bench default there. Gate-zoo-class shapes keep the plain
+# kernel: a shape-specific Mosaic fault crashes the worker at batch >= 512
+# even unfused (docs/performance.md), so stay conservative off the
+# standard shape. Override with P2V_FUSED_HASH=0|1.
+if MODEL == "fibonacci":
+    os.environ.setdefault("P2V_FUSED_HASH", "1")
 DEGREE_BITS = int(os.environ.get("BENCH_DEGREE_BITS", "12"))
 QUERIES = int(os.environ.get("BENCH_QUERIES", "28"))
 POW_BITS = int(os.environ.get("BENCH_POW_BITS", "16"))
