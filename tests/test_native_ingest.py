@@ -123,6 +123,36 @@ def test_python_fallback_matches_native(fib, monkeypatch):
         assert (got[k] == ref[k]).all(), k
 
 
+def test_native_parser_byte_fuzz(fib):
+    """Adversarial-bytes robustness of the single-pass C++ parser: random
+    truncations, splices, byte flips, and structural garbage over real proof
+    bytes must either parse to SOME array contents or raise ValueError —
+    never crash the process or write out of bounds. 200 seeded mutations."""
+    import random
+
+    fx, tpl, objs, (vk_b, pf_b) = fib
+    rng = random.Random(1234)
+    junk = [b"{", b"}", b"[", b"]", b",", b":", b'"', b"\\", b"-", b"9" * 30, b"null", b"1e9", b"\x00", b"\xff"]
+    for trial in range(200):
+        b = bytearray(pf_b)
+        op = rng.randrange(4)
+        if op == 0:  # truncate
+            del b[rng.randrange(1, len(b)) :]
+        elif op == 1:  # flip a byte
+            i = rng.randrange(len(b))
+            b[i] ^= rng.randrange(1, 256)
+        elif op == 2:  # splice junk in
+            i = rng.randrange(len(b))
+            b[i:i] = rng.choice(junk)
+        else:  # delete a span
+            i = rng.randrange(len(b))
+            del b[i : i + rng.randrange(1, 40)]
+        try:
+            flatten_proof_jsons(tpl, [(vk_b, bytes(b))])
+        except ValueError:
+            pass  # clean structured rejection is the expected outcome
+
+
 def test_raw_json_stream_tier(fib):
     from plonky2_verifier_tpu.parallel.stream import StreamVerifier
 

@@ -109,3 +109,38 @@ def test_vkey_mutation_rejects(fib):
         _mutate_leaf(mutated, ("constants_sigmas_cap", root, "elements", 0))
         vkey2 = VerifierOnlyCircuitData.from_json(mutated)
         assert not verify_proof(fx.common, vkey2, pwp), f"queried cap root {root} mutation accepted"
+
+
+def test_reduction_arity_expansion_matches_upstream():
+    """The ConstantArityBits expansion is pinned to upstream semantics
+    (commentary/FRI.md:46): FULL arity per step while logn > final_poly_bits,
+    overshoot below final_poly_bits allowed (the final poly may be SMALLER
+    than 2^final_poly_bits); only the upstream-unreachable logn < arity
+    corner folds the remaining logn. Round 5 briefly diverged here (a clamp
+    to logn - final_poly_bits changed the standard shape [4,4] -> [4,3] and
+    rejected every cached standard proof) — this pin prevents a repeat."""
+    from plonky2_verifier_tpu.golden.fri import expand_reduction_strategy
+    from plonky2_verifier_tpu.types import FriReductionStrategy
+
+    def expand(deg, ar, fp):
+        return expand_reduction_strategy(
+            deg, FriReductionStrategy(constant_arity_bits=(ar, fp))
+        )
+
+    assert expand(12, 4, 5) == [4, 4]  # standard shape: 2^12 -> 2^8 -> 2^4
+    assert expand(14, 4, 5) == [4, 4, 4]  # 2^14 -> ... -> 2^2 (< 2^5: fine)
+    assert expand(13, 4, 5) == [4, 4]  # 2^13 -> 2^9 -> 2^5 == final: stop
+    assert expand(3, 4, 5) == []  # already small enough
+    assert expand(3, 2, 0) == [2, 1]  # corner: fold remaining 1 bit, not 2
+    assert expand(3, 3, 2) == [3]  # overshoot to 2^0 (< 2^2: fine)
+
+    # the builder must agree with the golden expansion on every shape it emits
+    from plonky2_verifier_tpu.models.fibonacci import fibonacci_fixture
+
+    for ar, fp in [(1, 0), (2, 1), (4, 5)]:
+        fx = fibonacci_fixture(
+            num_query_rounds=2, proof_of_work_bits=0, arity_bits=ar, final_poly_bits=fp
+        )
+        assert fx.common.fri_params.reduction_arity_bits == expand(
+            fx.common.fri_params.degree_bits, ar, fp
+        )
