@@ -124,3 +124,62 @@ def test_duplex_trace_replay():
         states.append(state)
     replay = [states[pi][lane] for pi, lane in tr.squeezes]
     assert replay == outs
+
+
+def test_duplex_against_independent_reimplementation():
+    """Round 4 flagged residual oracle circularity: golden/duplex.py is the
+    ONLY transcript state machine, feeding both the golden verifier and the
+    device schedule compiler — a self-consistent bug there would pass every
+    cross-check. This is a second, structurally different implementation
+    (no buffers: it tracks the pending-absorb list and output cursor
+    directly, permuting eagerly at the spec'd points), written from the
+    reference spec (Challenge/Pure.hs:27-107) independently of
+    golden/duplex.py's buffered design, cross-checked on 50 random
+    absorb/squeeze schedules."""
+    import random
+
+    from plonky2_verifier_tpu.golden.duplex import RATE, WIDTH, Duplex
+    from plonky2_verifier_tpu.golden.poseidon import permutation
+
+    class FlatDuplex:
+        """Spec: absorbing collects felts; the permutation fires when a 9th
+        felt arrives (overwriting lanes 0..7) or when a squeeze occurs with
+        k pending felts (overwriting lanes 0..k-1; k may be 0). Squeezes pop
+        reverse(state[:8]); after 8 pops, permute (no overwrite) and refill.
+        Any absorb discards un-popped outputs."""
+
+        def __init__(self):
+            self.state = [0] * WIDTH
+            self.pending = []
+            self.out = None  # None = not in squeeze mode
+
+        def absorb(self, x):
+            self.out = None
+            if len(self.pending) > RATE - 1 + 1:
+                raise AssertionError("unreachable")
+            if len(self.pending) == RATE:
+                self.state = permutation(self.pending + self.state[RATE:])
+                self.pending = []
+            self.pending.append(x)
+
+        def squeeze(self):
+            if self.out is None:
+                self.state = permutation(self.pending + self.state[len(self.pending):])
+                self.pending = []
+                self.out = list(reversed(self.state[:RATE]))
+            if not self.out:
+                self.state = permutation(self.state)
+                self.out = list(reversed(self.state[:RATE]))
+            return self.out.pop(0)
+
+    rng = random.Random(99)
+    for trial in range(50):
+        a, b = Duplex(), FlatDuplex()
+        for _ in range(rng.randrange(3, 40)):
+            if rng.random() < 0.55:
+                x = rng.randrange(1 << 64)
+                a.absorb(x)
+                b.absorb(x)
+            else:
+                for _ in range(rng.randrange(1, 12)):
+                    assert a.squeeze() == b.squeeze(), f"trial {trial} diverged"
